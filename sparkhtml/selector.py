@@ -255,6 +255,8 @@ def _parse_compound(sc: _Scanner) -> Compound:
         sc.i += 1
         comp.simples.append(Simple("universal"))
     elif c not in ".#[:":
+        if c.isdigit():
+            raise sc.error("type selector cannot start with a digit")
         comp.simples.append(Simple("type", name=sc.ident().lower()))
     while True:
         c = sc.peek()

@@ -799,6 +799,9 @@ class TreeBuilder:
             if last and self.fragment_context is not None:
                 node = self.context_node
             if node.ns != NS_HTML:
+                if last:
+                    self.mode = "in-body"
+                    return
                 continue
             tag = node.tag
             if tag == "select":
