@@ -1,0 +1,123 @@
+"""Scaling-efficiency evidence: the same extraction job at local[N] and
+local[4N] on identical input (sandbox stand-in for N vs 4N executors,
+BASELINE.json north_rule: efficiency ≥ 0.8).
+
+Each measurement runs in its own subprocess (a JVM can't change master);
+the corpus is the sf documents table replicated REPLICAS× with distinct
+doc_ids so the parse work is large enough that per-job scheduling overhead
+doesn't dominate the ratio. Writes BENCH/BASELINE.md.
+
+Usage: python BENCH/run_scaling.py [--n 8] [--sf /root/testdata/sf0.1]
+                                   [--replicas 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from sparkhtml.spark.session import get_spark
+from sparkhtml.spark.pipeline import extract_spans_df
+import __spark_entry__ as entry
+
+cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicas = int(sys.argv[3])
+spark = get_spark(app_name="scaling-%%d" %% cpus, cpus=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+rep = spark.range(replicas).select(F.col("id").alias("rep"))
+corpus = (
+    docs.crossJoin(rep)
+    .select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("-"), F.col("rep")).alias("doc_id"),
+        F.concat(
+            F.lit('<nav><a href="/">home</a> <a href="/x">x</a></nav><h2>Sec</h2><p>'),
+            F.col("text"),
+            F.lit('</p><ul><li>one item here<li>two items here</ul><footer>foot</footer>'),
+        ).alias("text"),
+    )
+)
+inter = corpus.select(
+    "doc_id",
+    F.array(
+        F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"), F.lit(0).alias("offset")),
+        F.struct(F.lit("media").alias("kind"), F.lit(None).cast("string").alias("text"),
+                 F.concat(F.lit("m-"), F.col("doc_id")).alias("media_ref"), F.lit(1).alias("offset")),
+    ).alias("spans"),
+).repartition(cpus * 2, "doc_id")
+inter.cache()
+n = inter.count()
+# warmup: one full pass spins up every Python worker (daemon fork + imports)
+# so the timed runs measure steady-state throughput — the regime a
+# long-running extraction job actually operates in
+extract_spans_df(inter).write.format("noop").mode("overwrite").save()
+dt = None
+for _ in range(2):
+    t0 = time.perf_counter()
+    extract_spans_df(inter).write.format("noop").mode("overwrite").save()
+    d = time.perf_counter() - t0
+    dt = d if dt is None else min(dt, d)
+print(json.dumps({"cpus": cpus, "n_docs": n, "secs": round(dt, 2),
+                  "docs_per_sec": round(n / dt, 1)}))
+spark.stop()
+""" % {"repo": REPO}
+
+
+def run(cpus: int, sf_dir: str, replicas: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cpus), sf_dir, str(replicas)],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicas", type=int, default=40)
+    args = ap.parse_args()
+
+    lo = run(args.n, args.sf, args.replicas)
+    hi = run(args.n * 4, args.sf, args.replicas)
+    eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+    result = {"low": lo, "high": hi, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result))
+
+    md = f"""# BENCH/BASELINE.md — measured numbers
+
+## Scaling efficiency (north rule: ≥ 0.8 from N to 4N)
+
+Same extraction job (interleaved corpus, {lo['n_docs']:,} docs derived from
+{args.sf}, media spans interleaved) at two parallelism levels on identical
+input — the sandbox stand-in for N vs 4N executors:
+
+| config | docs | wall (s) | docs/sec |
+|---|---|---|---|
+| local[{lo['cpus']}] | {lo['n_docs']:,} | {lo['secs']} | {lo['docs_per_sec']:,} |
+| local[{hi['cpus']}] | {hi['n_docs']:,} | {hi['secs']} | {hi['docs_per_sec']:,} |
+
+**Scaling efficiency = {hi['docs_per_sec']:,} / (4 × {lo['docs_per_sec']:,}) =
+{result['scaling_efficiency']}**
+
+Reproduce: `python BENCH/run_scaling.py --n {args.n} --sf {args.sf}
+--replicas {args.replicas}`
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

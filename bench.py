@@ -1,0 +1,118 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints:
+
+    {"metric": "extraction_docs_per_sec", "value": N, "unit": "sec"-keyed
+     query timings, "queries": {...}, "sf": ...}
+
+The headline metric is the north rule's: extraction throughput (docs/sec)
+over the interleaved corpus. Scaling-efficiency evidence (local[N] vs
+local[4N]) lives in BENCH/run_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from sparkhtml.spark.session import get_spark
+    from sparkhtml.spark.pipeline import extract_spans_df, parse_nodes_df
+    from sparkhtml.spark.queries import css_select_df
+    from sparkhtml.spark.dedup import minhash_lsh_pairs
+    from sparkhtml.spark.similarity import cosine_topk
+    from sparkhtml.spark.textstats import quality_features
+
+    spark = get_spark(app_name="sparkhtml-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    interleaved = entry._interleaved(spark, sf_dir)
+    interleaved.cache().count()  # isolate parse cost from scan cost
+
+    timings: dict[str, float] = {}
+
+    def bench(name, thunk, reps=1):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            thunk()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        return best
+
+    # q1: the north-rule pipeline — parse+classify+re-emit every span
+    t_extract = bench(
+        "q1_extract_spans",
+        lambda: extract_spans_df(interleaved).write.format("noop").mode(
+            "overwrite"
+        ).save(),
+    )
+
+    # q2: flattened-DOM materialization (parse → nodes explode)
+    html_df = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="wrap"><p id="main">'), F.col("text"),
+            F.lit('</p><a href="/l">link</a></div>'),
+        ).alias("html"),
+    )
+    nodes = parse_nodes_df(html_df)
+    bench("q2_parse_nodes", lambda: nodes.write.format("noop").mode("overwrite").save())
+
+    # q3: selector-as-DataFrame plan over a materialized nodes table
+    nodes_cached = parse_nodes_df(html_df).cache()
+    nodes_cached.count()
+    bench(
+        "q3_css_child_plan",
+        lambda: css_select_df(nodes_cached, "div.wrap > p#main").count(),
+    )
+
+    # q4: MinHash LSH dedup end-to-end
+    bench("q4_minhash_dedup", lambda: minhash_lsh_pairs(docs, min_agree=0.9).count())
+
+    # q5: brute-force cosine top-k over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.first()["embedding"]]
+    bench("q5_cosine_topk", lambda: cosine_topk(emb, qv, 10).collect())
+
+    # q6: JVM-side text-quality features
+    bench(
+        "q6_quality_features",
+        lambda: quality_features(docs).write.format("noop").mode("overwrite").save(),
+    )
+
+    docs_per_sec = round(n_docs / t_extract, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_docs_per_sec",
+                "value": docs_per_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

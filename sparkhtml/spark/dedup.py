@@ -1,0 +1,283 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline layer: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. Scale posture per operator:
+
+- **exact**: one hash-aggregate, no Python. At 10^12 rows this is a single
+  shuffle on a 64-bit key; AQE coalesces the tail.
+- **minhash**: signatures are computed with JVM expressions
+  (``transform``/``array_min`` over shingle hashes — no UDF); LSH banding
+  turns the O(n²) pair space into an equi-join on (band, bucket) keys,
+  which Spark executes as a shuffled hash join; candidate verification
+  re-checks full signature agreement before declaring a pair.
+- **simhash**: 64-bit signatures in a vectorized Arrow pandas UDF (numpy
+  bit-twiddling is the honest fast path here); near-dup = identical
+  signature or Hamming ≤ k via band-rotation join (k/4-bit blocks).
+- **ngram jaccard**: exact Jaccard verification on LSH candidates only.
+- **embedding cosine**: random-hyperplane LSH bucket join + exact cosine
+  check inside buckets (see :mod:`sparkhtml.spark.similarity`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+
+def normalized_text(col: str = "text"):
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dup_groups(df: DataFrame, col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates (by normalized-text hash).
+
+    Returns (text_hash, n_dups, keep_id, dup_ids) for groups with n > 1.
+    """
+    h = df.select(
+        F.col(id_col).alias("doc_id"), F.xxhash64(normalized_text(col)).alias("text_hash")
+    )
+    return (
+        h.groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate class.
+
+    leftsemi join on id: the keep-set is usually ~corpus-sized, so it stays
+    a shuffled join; AQE will broadcast it when a filtered corpus is small.
+    """
+    h = df.withColumn("_h", F.xxhash64(normalized_text(col)))
+    keep = h.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="leftsemi")
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def shingles_col(col: str = "text", n: int = 3):
+    """Word n-gram shingles as an array column (JVM-side)."""
+    words = F.filter(F.split(normalized_text(col), " "), lambda w: F.length(w) > 0)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 32, shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>[n_hashes]) — min over shingles of k
+    seeded xxhash64 values. Pure expressions: shingle array is computed
+    once, the k mins fold over it with ``array_min``/``transform``."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(col, shingle_n).alias("sh"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))))
+            for seed in range(n_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+    min_agree: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding + signature check.
+
+    Returns (a, b, sig_agreement) with a < b and agreement ≥ min_agree.
+    The band explode produces ``bands`` rows per doc; the self-join is an
+    equi-join on (band, band_hash) — never a cross join.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, col, id_col, n_hashes, shingle_n).cache()
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    verified = (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "sig_agreement",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(n_hashes),
+        )
+        .filter(F.col("sig_agreement") >= min_agree)
+        .select("a", "b", F.round("sig_agreement", 6).alias("sig_agreement"))
+    )
+    return verified
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash_df(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) via an Arrow-batched pandas UDF (FNV-1a token
+    hashes — deterministic across executor processes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def simhash(s: pd.Series) -> pd.Series:
+        return _simhash_stable_batch(s)
+
+    return df.select(F.col(id_col).alias("doc_id"), simhash(F.col(col)).alias("simhash"))
+
+
+def _stable_token_hash(tokens: list[str]) -> np.ndarray:
+    """FNV-1a 64-bit per token — deterministic across processes."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, tok in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in tok.encode("utf-8"):
+            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def _simhash_stable_batch(texts: pd.Series) -> pd.Series:
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        tokens = (t or "").lower().split()
+        if not tokens:
+            out[i] = 0
+            continue
+        hs = _stable_token_hash(tokens)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(tokens)
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        out[i] = sig - 2**64 if sig >= 2**63 else sig
+    return pd.Series(out)
+
+
+def simhash_near_dups(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) blocks; any pair
+    within distance k agrees exactly on ≥1 block → equi-join per block,
+    then exact Hamming verification via bit_count(xor).
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    sh = simhash_df(df, col, id_col).cache()
+
+    def block_val(b: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), b * width)
+        if width >= 64:  # single block: the whole signature, no mask
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[block_val(b) for b in range(n_blocks)])
+        ).alias("block", "block_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ------------------------------------------------------------ ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.7,
+    n_hashes: int = 32, bands: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on MinHash-LSH candidates (two-phase: cheap
+    banding prunes the pair space, exact set intersection verifies)."""
+    cands = minhash_lsh_pairs(
+        df, col, id_col, n_hashes=n_hashes, bands=bands,
+        shingle_n=shingle_n, min_agree=0.0,
+    ).select("a", "b")
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles_col(col, shingle_n)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )

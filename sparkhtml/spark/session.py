@@ -1,0 +1,55 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Scale posture (SURVEY.md §4.3): Arrow everywhere, AQE on (runtime skew
+re-planning), modest Arrow batch sizes because HTML documents are large
+rows — a 10k-row Arrow batch of 100 KB documents is a 1 GB allocation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sparkhtml",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # ~2 waves per core keeps AQE coalescing useful without tiny tasks
+        shuffle_partitions = max(cpus * 2, 8)
+    # Python workers are forked with the JVM's environment: make sure the
+    # repo root is importable on executors regardless of the driver's cwd
+    # (cluster equivalent: spark-submit --py-files sparkhtml.zip).
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # HTML rows are fat: bound Arrow batch ROW count so batch BYTES stay
+        # ~tens of MB (SURVEY.md §4.1 "keep batches ~64-256 rows" is for the
+        # 100 KB-class web corpus; testdata rows are smaller so 1024 is safe)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

