@@ -65,7 +65,8 @@ class FlatDOM:
         assigned by one final DFS, so mid-parse mutation never fights
         columnar ids)."""
         dom = cls()
-        ap = dom.parent.append
+        parent = dom.parent
+        ap = parent.append
         ad = dom.depth.append
         ao = dom.order.append
         ak = dom.kind.append
@@ -73,17 +74,14 @@ class FlatDOM:
         an = dom.ns.append
         aa = dom.attrs.append
         ax = dom.text.append
-        asub = dom.subtree.append
-        # iterative DFS with explicit post hooks to fill subtree ends
+        kind_a = dom.kind
+        # pass 1: pre-order DFS writes all columns except subtree
         stack: list[tuple[Node, int, int, int]] = [(root, -1, 0, 0)]
-        # (node, parent_id, depth, order)
+        push = stack.append
+        pop = stack.pop
         while stack:
-            node, pid, depth, order = stack.pop()
-            if node is None:
-                # post marker: (None, node_id, _, _) → set subtree end
-                dom.subtree[pid] = len(dom.kind)
-                continue
-            nid = len(dom.kind)
+            node, pid, depth, order = pop()
+            nid = len(kind_a)
             ap(pid)
             ad(depth)
             ao(order)
@@ -92,10 +90,20 @@ class FlatDOM:
             an(node.ns)
             aa(node.attrs)
             ax(node.text)
-            asub(0)
-            stack.append((None, nid, 0, 0))
-            for i in range(len(node.children) - 1, -1, -1):
-                stack.append((node.children[i], nid, depth + 1, i))
+            children = node.children
+            if children:
+                d1 = depth + 1
+                for i in range(len(children) - 1, -1, -1):
+                    push((children[i], nid, d1, i))
+        # pass 2: subtree ends bottom-up — in reverse pre-order every child
+        # is visited before its parent, so one max-propagation pass suffices
+        n = len(kind_a)
+        subtree = [i + 1 for i in range(n)]
+        for i in range(n - 1, 0, -1):
+            p = parent[i]
+            if subtree[i] > subtree[p]:
+                subtree[p] = subtree[i]
+        dom.subtree = subtree
         return dom
 
     @classmethod

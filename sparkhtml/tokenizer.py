@@ -60,6 +60,9 @@ _RE_ATTR_VALUE_SQ = re.compile(r"[^'&\0]+")
 _RE_ATTR_VALUE_UQ = re.compile(r"[^\t\n\x0c >&\0\"'<=`]+")
 _RE_WS = re.compile(r"[\t\n\x0c ]+")
 _RE_ALPHA_RUN = re.compile(r"[a-zA-Z]+")
+# fast path: a complete attr-less lowercase tag (the overwhelmingly common
+# case in real HTML) matched in one step from tag-open / end-tag-open
+_RE_SIMPLE_TAG = re.compile(r"([a-z][a-z0-9]*)>")
 
 _STOP_DATA = re.compile(r"[<&\x00]")
 _STOP_RAW = re.compile(r"[<\x00]")
@@ -156,7 +159,9 @@ class Tokenizer:
             self._queue.append(("EndTag", name, [], False))
         else:
             self.last_start_tag = name
-            attrs = [(a[0], a[1]) for a in self._attrs]
+            attrs = (
+                [(a[0], a[1]) for a in self._attrs] if self._attrs else []
+            )
             self._queue.append(("StartTag", name, attrs, self._tag_self_closing))
 
     def _new_tag(self, is_end: bool) -> None:
@@ -302,6 +307,14 @@ class Tokenizer:
             self.i = i + 1
             self.state = "end-tag-open"
         elif c in _ASCII_ALPHA:
+            m = _RE_SIMPLE_TAG.match(s, i)
+            if m:
+                name = m.group(1)
+                self.last_start_tag = name
+                self._queue.append(("StartTag", name, [], False))
+                self.i = m.end()
+                self.state = DATA
+                return
             self._new_tag(False)
             self.state = "tag-name"
         elif c == "?":
@@ -322,6 +335,12 @@ class Tokenizer:
             return
         c = s[i]
         if c in _ASCII_ALPHA:
+            m = _RE_SIMPLE_TAG.match(s, i)
+            if m:
+                self._queue.append(("EndTag", m.group(1), [], False))
+                self.i = m.end()
+                self.state = DATA
+                return
             self._new_tag(True)
             self.state = "tag-name"
         elif c == ">":

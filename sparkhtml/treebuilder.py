@@ -309,6 +309,7 @@ class TreeBuilder:
         self.original_mode: Optional[str] = None
         self.pending_table_chars: list[str] = []
         self.foster_parenting = False
+        self.scripting = True  # reference posture (HTMLTreeConstructionTests.m:70-72)
         self.frameset_ok = True
         self.ignore_next_lf = False
         self.done = False
@@ -982,10 +983,7 @@ class TreeBuilder:
                 self._raw_text_element(token, tz.RCDATA)
                 return
             if tag in ("noscript", "noframes", "style"):
-                # scripting off: noscript still uses rawtext in the reference
-                # test posture only for noframes/style; noscript gets in-head-
-                # noscript mode
-                if tag == "noscript":
+                if tag == "noscript" and not self.scripting:
                     self._insert_element(token)
                     self.mode = "in-head-noscript"
                     return
@@ -1177,6 +1175,10 @@ class TreeBuilder:
         if tag in P_CLOSERS:
             if self._in_scope("p", SCOPE_BUTTON):
                 self._close_p()
+            if tag == "menu":
+                cur = self.current_node()
+                if cur.ns == NS_HTML and cur.tag == "menuitem":
+                    self.open_elements.pop()
             self._insert_element(token)
             return
         if tag in HEADINGS:
@@ -1311,6 +1313,9 @@ class TreeBuilder:
         if tag == "hr":
             if self._in_scope("p", SCOPE_BUTTON):
                 self._close_p()
+            cur = self.current_node()
+            if cur.ns == NS_HTML and cur.tag == "menuitem":
+                self.open_elements.pop()
             _el = self._insert_element(token)
             self._pop_if_current(_el)
             self.frameset_ok = False
@@ -1338,8 +1343,17 @@ class TreeBuilder:
             self.frameset_ok = False
             self._raw_text_element(token, tz.RAWTEXT)
             return
-        if tag in ("noembed",):
+        if tag == "noembed" or (tag == "noscript" and self.scripting):
             self._raw_text_element(token, tz.RAWTEXT)
+            return
+        if tag == "menuitem":
+            # reference parity (HTMLParser.m:938-945): acts like <option>,
+            # closing a currently-open menuitem
+            cur = self.current_node()
+            if cur.ns == NS_HTML and cur.tag == "menuitem":
+                self.open_elements.pop()
+            self._reconstruct_formatting()
+            self._insert_element(token)
             return
         if tag == "select":
             self._reconstruct_formatting()

@@ -1,0 +1,217 @@
+"""Spark-layer tests: pipeline invariants, selector-plan parity with the
+in-UDF matcher, dedup/similarity/textstats operators, checkpoint resume,
+partitioning, multimodal plumbing. One shared local session (conftest).
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagen.interleaved import make_corpus
+from sparkhtml.dom import FlatDOM
+from sparkhtml.extract import extract_spans
+from sparkhtml.selector import select as py_select
+from sparkhtml.spark import schemas
+from sparkhtml.spark.pipeline import (
+    css_count_udf, extract_metrics_df, extract_spans_df, make_udfs,
+    parse_nodes_df,
+)
+from sparkhtml.spark.queries import css_select_df
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    df = spark.createDataFrame(
+        list(make_corpus(60)), schema=schemas.DOCUMENTS_INTERLEAVED
+    )
+    df.cache().count()
+    return df
+
+
+def test_extract_matches_pure_python(spark, docs_df):
+    """The Spark pipeline and the pure-Python core produce identical span
+    sequences — the north-rule (kind, text, media_ref, order) invariant."""
+    got = {
+        r["doc_id"]: [s.asDict() for s in r["spans"]]
+        for r in extract_spans_df(docs_df).collect()
+    }
+    for doc in make_corpus(60):
+        expected = extract_spans(doc["spans"])
+        assert got[doc["doc_id"]] == expected, doc["doc_id"]
+
+
+def test_extract_metrics(spark, docs_df):
+    m = extract_metrics_df(docs_df)
+    row = m.agg(
+        F.sum("n_words"), F.sum("n_kept_words"), F.min("n_spans_out")
+    ).collect()[0]
+    assert row[0] > 0 and 0 < row[1] <= row[0] and row[2] >= 0
+
+
+def test_nodes_table_and_selector_plan_parity(spark):
+    html = (
+        "<div id=a class='x y'><p>one</p><p class=x>two</p>"
+        "<span><p>deep</p></span></div><ul><li>1<li class=x>2<li>3</ul>"
+    )
+    df = spark.createDataFrame([(str(i), html) for i in range(5)], ["doc_id", "html"])
+    nodes = parse_nodes_df(df).cache()
+    dom = FlatDOM.from_html(html)
+    for sel in ["p", "div > p", "div p", "p + p", "p ~ span", ".x",
+                "li:nth-child(odd)", "[class~=y]", "ul :not(.x)",
+                "p:first-child", "li:last-child"]:
+        got = css_select_df(nodes, sel).count()
+        exp = len(py_select(dom, sel)) * 5
+        assert got == exp, f"{sel}: {got} != {exp}"
+
+
+def test_udfs(spark):
+    from sparkhtml.spark.pipeline import register_udfs
+
+    register_udfs(spark)
+    row = spark.sql(
+        "select html_escape('a<b&c') e, html_unescape('x&amp;&#65;') u, "
+        "html_text_content('<p>a<b>b</b></p>') t, "
+        "html_extract_main('<p>enough words to keep here ok</p>') m"
+    ).collect()[0]
+    assert row.e == "a&lt;b&amp;c"
+    assert row.u == "x&A"
+    assert row.t == "ab"
+    assert row.m == "enough words to keep here ok"
+
+
+def test_css_count_udf(spark):
+    df = spark.createDataFrame(
+        [("1", "<div><p>a</p><p>b</p></div>")], ["doc_id", "html"]
+    )
+    assert df.select(css_count_udf("div > p")("html").alias("n")).first().n == 2
+
+
+def test_exact_dedup(spark):
+    from sparkhtml.spark.dedup import exact_dedup, exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT "), (3, "other")], ["doc_id", "text"]
+    )
+    groups = exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 2 and groups[0].keep_id == 1
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_and_jaccard(spark):
+    from sparkhtml.spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base), (3, base + " slightly changed tail"),
+            (4, "completely different text about spark engines and parquet files")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(df, min_agree=0.99).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    jac = {(r.a, r.b): r.jaccard for r in
+           ngram_jaccard_pairs(df, threshold=0.99).collect()}
+    assert jac == {(1, 2): 1.0}
+
+
+def test_simhash(spark):
+    from sparkhtml.spark.dedup import simhash_df, simhash_near_dups
+
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta iota kappa")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r.doc_id: r.simhash for r in simhash_df(df).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    pairs = [(r.a, r.b, r.hamming) for r in
+             simhash_near_dups(df, max_hamming=0).collect()]
+    assert pairs == [(1, 2, 0)]
+
+
+def test_similarity(spark):
+    from sparkhtml.spark.similarity import (
+        cosine_near_dup_pairs, cosine_topk, lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    top = cosine_topk(emb, q, 5).collect()
+    assert top[0].vec_id == 3 and abs(top[0].cosine - 1.0) < 1e-6
+    assert all(top[i].cosine >= top[i + 1].cosine for i in range(4))
+    # LSH recall: the self-match must survive bucketing
+    approx = lsh_topk(emb, q, 5).collect()
+    assert approx and approx[0].vec_id == 3
+    dup = emb.filter("vec_id = 3").withColumn("vec_id", F.lit(999999))
+    pairs = cosine_near_dup_pairs(emb.unionByName(dup), 0.9999).collect()
+    assert any({r.a, r.b} == {3, 999999} for r in pairs)
+
+
+def test_textstats(spark):
+    from sparkhtml.spark.textstats import (
+        fingerprint, lang_id, quality_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "der hund und die katze und der vogel"),
+         (3, "xyz qrs")],
+        ["doc_id", "text"],
+    )
+    langs = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert langs == {1: "en", 2: "de", 3: "und"}
+    q = {r.doc_id: r for r in quality_features(df).collect()}
+    assert q[1].n_words == 8 and q[1].stopword_ratio > 0.3
+    fp = fingerprint(df.union(spark.createDataFrame(
+        [(4, "  THE cat and the dog OF the house ")], ["doc_id", "text"]
+    )))
+    vals = {r.doc_id: r.fingerprint for r in fp.collect()}
+    assert vals[1] == vals[4] != vals[3]
+
+
+def test_checkpoint_resume(spark, docs_df, tmp_path):
+    from sparkhtml.spark.checkpoint import ChunkedRun
+
+    out = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+
+    def failing(d):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        return extract_spans_df(d)
+
+    run = ChunkedRun(spark, out, n_chunks=3)
+    with pytest.raises(RuntimeError):
+        run.run(docs_df, failing)
+    done_after_crash = run.completed_chunks()
+    assert len(done_after_crash) == 1
+    summary = ChunkedRun(spark, out, n_chunks=3).run(docs_df, extract_spans_df)
+    assert summary["resumed"] == 1 and summary["processed"] == 2
+    assert ChunkedRun(spark, out, n_chunks=3).output_df().count() == \
+        extract_spans_df(docs_df).count()
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_partitioning(spark, docs_df):
+    from sparkhtml.spark.partitioning import straggler_split, with_size_salt
+
+    salted = with_size_salt(docs_df)
+    row = salted.agg(
+        F.countDistinct("salt"), F.min("size_bucket"), F.max("size_bucket")
+    ).collect()[0]
+    assert row[0] > 1 and 0 <= row[1] <= row[2]
+    normal, strag = straggler_split(docs_df, char_threshold=100_000)
+    assert normal.count() + strag.count() == docs_df.count()
+
+
+def test_multimodal(spark):
+    from sparkhtml.spark.multimodal import fake_media_table, media_features_df
+
+    media = fake_media_table(spark, 12)
+    feats = media_features_df(media).collect()
+    assert len(feats) == 12
+    assert all(len(r.feature) == 16 for r in feats)
+    assert any(r.n_frames > 1 for r in feats if r.kind == "video")
+    stub = media_features_df(media.limit(2), fake=False).collect()
+    assert all(r.error for r in stub)  # error channel, not task failure

@@ -1,0 +1,102 @@
+"""Structured Streaming tests: file-stream extraction with AvailableNow,
+windowed watermark aggregation, streaming exact dedup."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datagen.interleaved import make_corpus
+from sparkhtml.spark import schemas
+
+
+def test_stream_extract_available_now(spark, tmp_path):
+    from sparkhtml.spark.pipeline import extract_spans_df
+    from sparkhtml.spark.streaming import stream_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(
+        list(make_corpus(40)), schema=schemas.DOCUMENTS_INTERLEAVED
+    )
+    docs.write.mode("overwrite").parquet(in_dir)
+
+    q = stream_extract(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 40
+    # restart with no new files → exactly-once: nothing re-emitted
+    q2 = stream_extract(spark, in_dir, out_dir, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == 40
+    # batch and stream agree
+    batch = extract_spans_df(docs)
+    assert got.count() == batch.count()
+    g = {r["doc_id"]: r["spans"] for r in got.collect()}
+    for r in batch.collect():
+        assert g[r["doc_id"]] == r["spans"]
+
+
+def test_stream_windowed_metrics(spark, tmp_path):
+    from sparkhtml.spark.streaming import stream_quality_metrics
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (base + datetime.timedelta(seconds=30 * i), f"d{i}", 10 + i)
+        for i in range(8)
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, ["ts", "doc_id", "n_words"]).write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, doc_id string, n_words long")
+        .parquet(src)
+    )
+    agg = stream_quality_metrics(stream, window="1 minute", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winmetrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.window_start: (r.n_docs, r.n_words)
+        for r in spark.sql("select * from winmetrics").collect()
+    }
+    # 8 events, 2 per minute window → 4 windows; append mode finalizes
+    # only windows whose end <= watermark (= max ts, 3:30), so the last
+    # window [3:00,4:00) stays in state: exactly 3 emitted
+    assert len(got) == 3
+    assert all(n == 2 for n, _ in got.values())
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    from sparkhtml.spark.streaming import stream_dedup_exact
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (base, 1, "same text"),
+        (base + datetime.timedelta(seconds=10), 2, "same  TEXT"),
+        (base + datetime.timedelta(seconds=20), 3, "unique content"),
+    ]
+    src = str(tmp_path / "dd")
+    spark.createDataFrame(rows, ["ts", "doc_id", "text"]).write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, doc_id long, text string")
+        .parquet(src)
+    )
+    dd = stream_dedup_exact(stream)
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedupe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    kept = sorted(
+        r.doc_id for r in spark.sql("select doc_id from dedupe").collect()
+    )
+    assert len(kept) == 2 and 3 in kept
