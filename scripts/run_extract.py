@@ -1,0 +1,91 @@
+"""spark-submit entry point for the extraction pipeline.
+
+    # package the library once
+    python scripts/make_pyfiles.py            # → dist/sparkhtml.zip
+
+    # local or cluster run (the north rule's submission shape)
+    spark-submit --py-files dist/sparkhtml.zip scripts/run_extract.py \
+        --input  <path or iceberg table of (doc_id, spans)> \
+        --output <output dir / table> \
+        --checkpoint <manifest dir> \
+        --chunks 256 --partitions 2048
+
+Reads the interleaved documents table (parquet path, or an Iceberg table
+name when a catalog is configured), runs the main-content extraction with
+size-salted partitioning, writes spans_out chunk-by-chunk with the
+resumable manifest, and emits lineage + per-document metrics tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True,
+                    help="manifest dir for resumable chunked writes")
+    ap.add_argument("--chunks", type=int, default=64)
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="shuffle parallelism for the balanced repartition")
+    ap.add_argument("--metrics-output", default=None)
+    ap.add_argument("--straggler-chars", type=int, default=1_000_000,
+                    help="docs above this size route to dedicated tasks")
+    ap.add_argument("--format", default="parquet",
+                    choices=("parquet", "iceberg"))
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from sparkhtml.spark.checkpoint import ChunkedRun
+    from sparkhtml.spark.partitioning import straggler_split, with_size_salt
+    from sparkhtml.spark.pipeline import extract_metrics_df, extract_spans_df
+
+    # under spark-submit the session/master/executors come from the submit
+    # conf; we only set analysis-level options here
+    spark = SparkSession.builder.appName("sparkhtml-extract").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    if args.format == "iceberg":
+        docs = spark.read.format("iceberg").load(args.input)
+    else:
+        docs = spark.read.parquet(args.input)
+
+    partitions = args.partitions or spark.sparkContext.defaultParallelism * 2
+    normal, stragglers = straggler_split(docs, args.straggler_chars)
+
+    def transform(df):
+        salted = with_size_salt(df)
+        balanced = salted.repartition(partitions, "size_bucket", "salt")
+        return extract_spans_df(balanced)
+
+    t0 = time.time()
+    run = ChunkedRun(spark, args.output, n_chunks=args.chunks)
+    summary = run.run(normal, transform)
+    # stragglers: small cardinality, maximum spread — one doc per task
+    n_strag = stragglers.count()
+    if n_strag:
+        strag_out = extract_spans_df(
+            stragglers.repartition(max(n_strag, 1), "doc_id")
+        )
+        strag_out.write.mode("overwrite").parquet(
+            args.output.rstrip("/") + "/stragglers"
+        )
+    if args.metrics_output:
+        extract_metrics_df(docs).write.mode("overwrite").parquet(
+            args.metrics_output
+        )
+    summary["n_stragglers"] = n_strag
+    summary["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
