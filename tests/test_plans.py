@@ -1,0 +1,105 @@
+"""Physical-plan quality assertions (SURVEY.md §4.2): predicate pushdown
+reaches the parquet scan, column pruning holds, small dims broadcast,
+aggregates have map-side partials, and the Python path is Arrow-eval."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    p = plan(q)
+    assert "PushedFilters" in p and "lang" in p.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id", "text")
+    p = plan(q)
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_extract_pipeline_prunes_columns(spark):
+    """The extraction stage must not drag extra columns through Python."""
+    import __spark_entry__ as entry
+    from sparkhtml.spark.pipeline import extract_spans_df
+
+    docs = entry._interleaved(spark, SF)
+    p = plan(extract_spans_df(docs))
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_broadcast_join_for_small_dims(spark):
+    import __spark_entry__ as entry
+
+    q = entry._q_revenue_by_nation(spark, SF)
+    p = plan(q)
+    assert "BroadcastHashJoin" in p
+
+
+def test_partial_aggregation(spark):
+    import __spark_entry__ as entry
+
+    q = entry._q_pricing_summary(spark, SF)
+    p = plan(q)
+    # two HashAggregate levels = map-side partial + final
+    assert p.count("HashAggregate") >= 2
+
+
+def test_udfs_are_arrow_not_batch_python(spark):
+    from sparkhtml.spark.pipeline import make_udfs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select(make_udfs()["html_escape"]("text"))
+    p = plan(q)
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p  # row-at-a-time python would be this
+
+
+def test_selector_plan_uses_hash_join_not_nested_loop(spark):
+    from sparkhtml.spark.pipeline import parse_nodes_df
+    from sparkhtml.spark.queries import css_select_df
+
+    df = spark.createDataFrame(
+        [(str(i), "<div><p>a</p></div>") for i in range(4)], ["doc_id", "html"]
+    )
+    nodes = parse_nodes_df(df)
+    p = plan(css_select_df(nodes, "div > p"))
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_minhash_shingles_not_reevaluated(spark):
+    """Regression guard for the higher-order-function inlining trap: the
+    optimized plan must contain exactly one shingle-split per row source
+    (the lambda binding), not one per hash seed."""
+    from sparkhtml.spark.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    opt = optimized(minhash_signatures(docs, n_hashes=8))
+    # normalized_text's regexp_replace appears once in the bound words
+    # expression; >2 occurrences means per-branch re-evaluation is back
+    assert opt.count("regexp_replace") <= 2, opt.count("regexp_replace")
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from sparkhtml.spark.dedup import exact_dup_groups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(exact_dup_groups(docs))
+    # one exchange for the groupBy — no extra repartitions
+    assert p.count("Exchange") <= 2

@@ -1,0 +1,196 @@
+"""Property-based tests (hypothesis) — rigor the reference lacks
+(SURVEY.md §5: 'No property-based/randomized testing' upstream).
+
+Invariants:
+- parse never crashes on arbitrary text; flat DOM structure is well formed
+  (parents precede children, subtree ranges nest, depths consistent)
+- serialize→parse→serialize is a fixed point (serialization idempotence)
+- escape/unescape round-trips arbitrary text
+- extraction is deterministic and never invents media refs
+- selector matcher agrees with a naive DFS evaluator on generated docs
+"""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from sparkhtml.dom import FlatDOM
+from sparkhtml.escape import escape_html, unescape_html
+from sparkhtml.extract import extract_spans
+from sparkhtml.selector import select
+from sparkhtml.serializer import serialize
+from sparkhtml.treebuilder import ELEMENT, parse
+
+# -- input strategies ---------------------------------------------------------
+
+html_chars = st.text(
+    alphabet=string.ascii_letters + string.digits + " <>&=\"'/!-;#\n\t.",
+    max_size=200,
+)
+
+tag_names = st.sampled_from(
+    ["div", "p", "span", "b", "i", "ul", "li", "table", "td", "a", "em"]
+)
+
+
+@st.composite
+def small_html(draw, depth=0):
+    if depth > 3 or draw(st.booleans()):
+        return draw(st.text(alphabet=string.ascii_letters + " &#;", max_size=20))
+    tag = draw(tag_names)
+    attrs = ""
+    if draw(st.booleans()):
+        cls = draw(st.sampled_from(["x", "y", "z w"]))
+        attrs = f' class="{cls}"'
+    if draw(st.booleans()):
+        attrs += f' id="{draw(st.sampled_from(["a1", "b2", "c3"]))}"'
+    inner = "".join(
+        draw(small_html(depth=depth + 1))
+        for _ in range(draw(st.integers(0, 3)))
+    )
+    return f"<{tag}{attrs}>{inner}</{tag}>"
+
+
+# -- properties ----------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(html_chars)
+def test_parse_never_crashes_and_dom_well_formed(text):
+    dom = FlatDOM.from_html(text)
+    n = len(dom)
+    assert n >= 1 and dom.parent[0] == -1
+    for i in range(1, n):
+        p = dom.parent[i]
+        assert 0 <= p < i                      # parents precede children
+        assert dom.depth[i] == dom.depth[p] + 1
+        assert i < dom.subtree[i] <= dom.subtree[p]  # ranges nest
+    assert dom.subtree[0] == n
+
+
+@settings(max_examples=100, deadline=None)
+@given(small_html())
+def test_serialize_fixed_point(html):
+    doc1 = parse(html).document
+    out1 = serialize(doc1)
+    out2 = serialize(parse(out1).document)
+    assert out1 == out2
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=300))
+def test_escape_roundtrip(text):
+    assert unescape_html(escape_html(text)) == text
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.one_of(
+        st.builds(
+            lambda t, o: {"kind": "text", "text": t, "media_ref": None, "offset": o},
+            small_html(), st.integers(0, 50),
+        ),
+        st.builds(
+            lambda r, o: {"kind": "media", "text": None, "media_ref": f"m-{r}", "offset": o},
+            st.integers(0, 9), st.integers(0, 50),
+        ),
+    ),
+    max_size=6,
+))
+def test_extract_spans_invariants(spans):
+    out1 = extract_spans(spans)
+    out2 = extract_spans(spans)
+    assert out1 == out2  # deterministic
+    in_media = sorted(
+        (s["offset"], s["media_ref"]) for s in spans if s["kind"] == "media"
+    )
+    out_media = sorted(
+        (s["offset"], s["media_ref"]) for s in out1 if s["kind"] == "media"
+    )
+    assert out_media == in_media  # media pass through exactly
+    offsets = [s["offset"] for s in out1]
+    assert offsets == sorted(offsets)  # offset order preserved
+
+
+def _naive_match(dom, simple_checks, i):
+    return all(c(dom, i) for c in simple_checks)
+
+
+@settings(max_examples=80, deadline=None)
+@given(small_html(), st.sampled_from([
+    "p", "div p", "div > p", ".x", "#a1", "li", "span + b", "p ~ span",
+    "li:first-child", "td:nth-child(2)", ":not(.x)",
+]))
+def test_selector_agrees_with_naive_dfs(html, sel):
+    """Cross-check the mask matcher against a per-node recursive evaluator
+    built from first principles (the reference's evaluation shape)."""
+    dom = FlatDOM.from_html(html)
+    got = set(select(dom, sel))
+    naive = set(_naive_select(dom, sel))
+    assert got == naive
+
+
+def _naive_select(dom, sel):
+    from sparkhtml.selector import parse_selector
+
+    group = parse_selector(sel)
+    out = []
+    for i in range(len(dom)):
+        if dom.kind[i] != ELEMENT:
+            continue
+        if any(_matches_complex(dom, i, cx) for cx in group.complexes):
+            out.append(i)
+    return out
+
+
+def _matches_complex(dom, i, cx):
+    if not _matches_compound(dom, i, cx.compounds[-1]):
+        return False
+    node = i
+    for k in range(len(cx.combinators) - 1, -1, -1):
+        comb = cx.combinators[k]
+        comp = cx.compounds[k]
+        if comb == ">":
+            p = dom.parent[node]
+            if p < 0 or not _matches_compound(dom, p, comp):
+                return False
+            node = p
+        elif comb == " ":
+            p = dom.parent[node]
+            found = None
+            while p >= 0:
+                if _matches_compound(dom, p, comp):
+                    # greedy is wrong in general; try all ancestors
+                    if _matches_prefix(dom, p, cx, k):
+                        found = p
+                        break
+                p = dom.parent[p]
+            if found is None:
+                return False
+            return True
+        elif comb in ("+", "~"):
+            sibs = [c for c in dom.children_of(dom.parent[node])
+                    if dom.kind[c] == ELEMENT]
+            idx = sibs.index(node)
+            if comb == "+":
+                if idx == 0 or not _matches_compound(dom, sibs[idx - 1], comp):
+                    return False
+                node = sibs[idx - 1]
+            else:
+                prior = [s for s in sibs[:idx] if _matches_compound(dom, s, comp)]
+                if not any(_matches_prefix(dom, s, cx, k) for s in prior):
+                    return False
+                return True
+    return True
+
+
+def _matches_prefix(dom, node, cx, k):
+    """Does `node` satisfy compounds[0..k] joined by combinators[0..k-1]?"""
+    sub_cx = type(cx)(compounds=cx.compounds[: k + 1],
+                      combinators=cx.combinators[:k])
+    return _matches_complex(dom, node, sub_cx)
+
+
+def _matches_compound(dom, i, comp):
+    from sparkhtml.selector import _match_compound
+
+    return _match_compound(dom, comp)[i]
