@@ -112,6 +112,32 @@ def _pseudo_col(s: Simple, df: DataFrame) -> Column:
             return is_el & (pos == b)
         d = pos - b
         return is_el & (d % a == 0) & ((d / a) >= 0)
+    # of-type variants: rank among same-tag element siblings (Q11) —
+    # same window keyed by (doc_id, parent, tag)
+    wt = Window.partitionBy("doc_id", "parent", "tag").orderBy("node_id")
+    trank = F.sum(el_flag).over(wt)
+    ttotal = F.sum(el_flag).over(Window.partitionBy("doc_id", "parent", "tag"))
+    if name == "first-of-type":
+        return is_el & (trank == 1)
+    if name == "last-of-type":
+        return is_el & (trank == ttotal)
+    if name == "only-of-type":
+        return is_el & (ttotal == 1)
+    if name in ("nth-of-type", "nth-last-of-type"):
+        a, b = s.nth
+        pos = trank if name == "nth-of-type" else (ttotal - trank + 1)
+        if a == 0:
+            return is_el & (pos == b)
+        d = pos - b
+        return is_el & (d % a == 0) & ((d / a) >= 0)
+    if name == "root":
+        return is_el & (F.col("depth") == 1)
+    if name == "empty":
+        # no element children and no non-empty text children: subtree has
+        # only the node itself, or only empty-text descendants — cheap
+        # approximation via subtree arithmetic needs a join; use the exact
+        # rule on direct children via a self-join in _complex_df instead.
+        raise UnsupportedSelector(":empty (use the in-UDF matcher)")
     raise UnsupportedSelector(f":{name} (use the in-UDF matcher)")
 
 

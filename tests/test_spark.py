@@ -61,7 +61,9 @@ def test_nodes_table_and_selector_plan_parity(spark):
     dom = FlatDOM.from_html(html)
     for sel in ["p", "div > p", "div p", "p + p", "p ~ span", ".x",
                 "li:nth-child(odd)", "[class~=y]", "ul :not(.x)",
-                "p:first-child", "li:last-child"]:
+                "p:first-child", "li:last-child", "p:first-of-type",
+                "p:nth-of-type(2)", "span:only-of-type",
+                "p:nth-last-of-type(1)"]:
         got = css_select_df(nodes, sel).count()
         exp = len(py_select(dom, sel)) * 5
         assert got == exp, f"{sel}: {got} != {exp}"
