@@ -263,6 +263,36 @@ def _q_token_count(spark, sf_dir):
     return docs.select("doc_id", F.size(words).cast("bigint").alias("n_tokens"))
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    """BPE-ish lexer token counts over markup-decorated text."""
+    from sparkhtml.spark.textstats import bpe_token_count
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("it's #1: "), F.col("text"))
+    )
+    return docs.select(
+        "doc_id", bpe_token_count("text").cast("bigint").alias("n_bpe_tokens")
+    )
+
+
+def _q_css_multi_count(spark, sf_dir):
+    """Parse-once multi-selector evaluation (operator fusion)."""
+    from sparkhtml.spark.pipeline import css_multi_count_udf
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<div class="wrap"><p id="main">'), F.col("text"),
+        F.lit('</p><a href="/l">link</a></div>'),
+    )
+    counts = css_multi_count_udf(["div.wrap > p", "a[href]", "p:first-of-type"])(html)
+    return docs.select(
+        "doc_id",
+        F.element_at(counts, 1).cast("bigint").alias("n_p"),
+        F.element_at(counts, 2).cast("bigint").alias("n_a"),
+        F.element_at(counts, 3).cast("bigint").alias("n_first_p"),
+    )
+
+
 def _q_quality(spark, sf_dir):
     from sparkhtml.spark.textstats import quality_features
 
@@ -362,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup_pairs": _q_cosine_neardup,
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
+        "css_multi_count": _q_css_multi_count,
         "quality_features": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -422,6 +454,15 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, length(list_filter(string_split_regex(text, '\\s+'), "
             "w -> length(w) > 0))::BIGINT AS n_tokens FROM documents"
+        ),
+        "bpe_token_count": (
+            "SELECT doc_id, length(regexp_extract_all('it''s #1: ' || text, "
+            "'[a-zA-Z]+(?:''[a-z]+)?|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT "
+            "AS n_bpe_tokens FROM documents"
+        ),
+        "css_multi_count": (
+            "SELECT doc_id, 1::BIGINT AS n_p, 1::BIGINT AS n_a, "
+            "1::BIGINT AS n_first_p FROM documents"
         ),
         "quality_features": (
             "SELECT doc_id, length(text)::BIGINT AS n_chars, "

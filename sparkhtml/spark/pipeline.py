@@ -171,6 +171,25 @@ def css_select_text_udf(selector: str):
     return _select
 
 
+def css_multi_count_udf(selectors: list[str]):
+    """Parse each document ONCE, evaluate k selectors over the same flat
+    DOM — operator fusion for multi-selector workloads (vs k parses with
+    k single-selector UDFs). Returns array<int> aligned with ``selectors``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _multi(s: pd.Series) -> pd.Series:
+        compiled = [CompiledSelector(sel) for sel in selectors]
+
+        def run(html: str):
+            dom = FlatDOM.from_html(html or "")
+            return [len(cs.match_ids(dom)) for cs in compiled]
+
+        return s.fillna("").map(run)
+
+    return _multi
+
+
 def css_count_udf(selector: str):
     from pyspark.sql.functions import pandas_udf
 

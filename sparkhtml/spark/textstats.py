@@ -21,17 +21,25 @@ _STOP_MARKERS = {
     "fr": ["le", "les", "des"],
 }
 
-TOKEN_RE = r"[a-zA-Z0-9]+(?:'[a-z]+)?|[^a-zA-Z0-9\s]"
+# BPE-ish lexer: word pieces (letter runs, with contraction tails),
+# digit runs, and each punctuation mark as its own token — the usual
+# pre-tokenization shape of byte-pair encoders.
+TOKEN_RE = r"[a-zA-Z]+(?:'[a-z]+)?|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def token_count(col: str = "text") -> Column:
-    """BPE-ish token count: word pieces + punctuation marks (regex split)."""
+    """Whitespace token count (words)."""
     return F.size(
         F.filter(
             F.split(F.col(col), r"\s+"),
             lambda t: F.length(t) > 0,
         )
     )
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """BPE-ish token count via regexp_extract_all (JVM, SQL-oracle-able)."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(TOKEN_RE), F.lit(0)))
 
 
 def word_count(col: str = "text") -> Column:
