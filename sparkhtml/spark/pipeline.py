@@ -177,6 +177,9 @@ def css_multi_count_udf(selectors: list[str]):
     k single-selector UDFs). Returns array<int> aligned with ``selectors``."""
     from pyspark.sql.functions import pandas_udf
 
+    for sel in selectors:  # fail fast at definition, not on executors
+        CompiledSelector(sel)
+
     @pandas_udf(ArrayType(IntegerType()))
     def _multi(s: pd.Series) -> pd.Series:
         compiled = [CompiledSelector(sel) for sel in selectors]
