@@ -120,13 +120,19 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
-    min_agree: float = 0.5,
+    min_agree: float = 0.5, max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding + signature check.
 
     Returns (a, b, sig_agreement) with a < b and agreement ≥ min_agree.
     The band explode produces ``bands`` rows per doc; the self-join is an
     equi-join on (band, band_hash) — never a cross join.
+
+    ``max_bucket`` caps bucket width: a true mega-cluster (10⁶ copies of
+    one boilerplate page) would otherwise produce a quadratic pair burst
+    inside its bucket. Buckets wider than the cap are dropped here —
+    identical documents are the exact-dedup pass's job, which runs first
+    in the documented pipeline (SCALE.md §5).
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, col, id_col, n_hashes, shingle_n).cache()
@@ -149,6 +155,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        widths = banded.groupBy("band", "band_hash").agg(
+            F.count("*").alias("_w")
+        )
+        banded = (
+            banded.join(widths, ["band", "band_hash"])
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     cands = (
