@@ -173,14 +173,75 @@ def extract_main_text_dom(dom: FlatDOM) -> str:
     return "\n".join(parts)
 
 
+def _is_boiler_node(node) -> bool:
+    if node.tag in BOILER_TAGS:
+        return True
+    for k, v in node.attrs:
+        if k in ("id", "class") and v and _BOILER_CLASS_RE.search(v):
+            return True
+    return False
+
+
+def segment_blocks_tree(root) -> list[Block]:
+    """Same segmentation as :func:`segment_blocks`, walking the parse tree
+    directly — the extraction hot path skips flat-DOM construction (~15%
+    of extract time). One DFS carrying (pruned, boiler, in_link, block)
+    state down the stack; identical Block output (golden-tested)."""
+    from .treebuilder import Node  # local to avoid cycle at import time
+
+    root_block = Block(0, None)
+    blocks = [root_block]
+    # stack entries: (node, pruned, boiler, in_link, block)
+    stack = [(c, False, False, False, root_block)
+             for c in reversed(root.children)]
+    while stack:
+        node, pruned, boiler, in_link, block = stack.pop()
+        kind = node.kind
+        if kind == TEXT:
+            if not pruned:
+                t = node.text or ""
+                block.boiler = block.boiler or boiler
+                block.text.append(t)
+                w = len(t.split())
+                block.words += w
+                if in_link:
+                    block.link_words += w
+            continue
+        if kind != ELEMENT:
+            continue
+        if node.ns != NS_HTML or node.tag in PRUNE_TAGS:
+            pruned = True
+        elif not boiler and _is_boiler_node(node):
+            boiler = True
+        if not in_link and node.ns == NS_HTML and node.tag == "a":
+            in_link = True
+        if node.ns == NS_HTML and node.tag in BLOCK_TAGS:
+            block = Block(len(blocks), node.tag)
+            block.boiler = boiler
+            blocks.append(block)
+        for c in reversed(node.children):
+            stack.append((c, pruned, boiler, in_link, block))
+    return [b for b in blocks if b.text]
+
+
 def extract_main_text(html: str, fragment: bool = True) -> str:
     """HTML (fragment by default) → extracted main-content text."""
-    dom = (
-        FlatDOM.from_fragment(html, "body")
-        if fragment
-        else FlatDOM.from_html(html)
-    )
-    return extract_main_text_dom(dom)
+    from .treebuilder import Node, parse, parse_fragment
+
+    if fragment:
+        children = parse_fragment(html, "body", collect_errors=False)
+        root = Node(0)
+        for c in children:
+            root.children.append(c)  # parents not needed for segmentation
+    else:
+        root = parse(html, collect_errors=False).document
+    parts = []
+    for b in segment_blocks_tree(root):
+        if classify_block(b):
+            t = _normalize("".join(b.text))
+            if t:
+                parts.append(t)
+    return "\n".join(parts)
 
 
 def extract_spans(spans: list[dict]) -> list[dict]:

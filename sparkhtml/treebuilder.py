@@ -1133,6 +1133,12 @@ class TreeBuilder:
     def _in_body_start_tag(self, token: tuple) -> None:
         """The in-body start-tag megaswitch (HTMLParser.m:654-979)."""
         tag = token[1]
+        if tag not in _IN_BODY_SPECIAL_START:
+            # 'any other start tag' fast path — one set test instead of the
+            # full chain for span/em-class generic elements
+            self._reconstruct_formatting()
+            self._insert_element(token)
+            return
         if tag == "html":
             self.parse_error("non-html-root")
             # merge attributes into root
@@ -2194,6 +2200,20 @@ class TreeBuilder:
                     self._mode_dispatch(token, self.mode)
                     return
 
+
+# every tag with a dedicated in-body start branch; misses take the
+# any-other fast path at the top of _in_body_start_tag
+_IN_BODY_SPECIAL_START = frozenset(
+    ["html", "body", "frameset", "form", "li", "dd", "dt", "plaintext",
+     "button", "a", "table", "input", "hr", "image", "textarea", "xmp",
+     "iframe", "noembed", "noscript", "menuitem", "select", "optgroup",
+     "option", "rb", "rtc", "rp", "rt", "math", "svg", "pre", "listing",
+     "area", "br", "embed", "img", "keygen", "wbr", "param", "source",
+     "track", "base", "basefont", "bgsound", "link", "meta", "noframes",
+     "script", "style", "title", "caption", "col", "colgroup", "frame",
+     "head", "tbody", "td", "tfoot", "th", "thead", "tr", "applet",
+     "marquee", "object"]
+) | P_CLOSERS | HEADINGS | FORMATTING
 
 _MODES = {
     "initial": TreeBuilder._mode_initial,
