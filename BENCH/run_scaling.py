@@ -88,12 +88,24 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=40)
+    ap.add_argument("--rounds", type=int, default=1,
+                    help="alternate low/high measurements this many times "
+                         "and take the best of each (defends the ratio "
+                         "against box-level interference)")
     args = ap.parse_args()
 
-    lo = run(args.n, args.sf, args.replicas)
-    hi = run(args.n * 4, args.sf, args.replicas)
+    lows, highs = [], []
+    for _ in range(args.rounds):
+        lows.append(run(args.n, args.sf, args.replicas))
+        highs.append(run(args.n * 4, args.sf, args.replicas))
+    lo = max(lows, key=lambda r: r["docs_per_sec"])
+    hi = max(highs, key=lambda r: r["docs_per_sec"])
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
-    result = {"low": lo, "high": hi, "scaling_efficiency": round(eff, 3)}
+    result = {
+        "low": lo, "high": hi, "scaling_efficiency": round(eff, 3),
+        "low_runs": [r["docs_per_sec"] for r in lows],
+        "high_runs": [r["docs_per_sec"] for r in highs],
+    }
     print(json.dumps(result))
 
     md = f"""# BENCH/BASELINE.md — measured numbers
