@@ -243,6 +243,18 @@ def _q_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 3).alias("cosine"))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN with full probe (n_probe=k) — must equal exact brute force,
+    so the DuckDB cosine oracle applies to the whole index machinery."""
+    from sparkhtml.spark.similarity import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = IVFIndex(k=4).fit(emb)
+    top = idx.topk(emb, q, k=10, n_probe=4)
+    return top.select("vec_id", F.round("cosine", 3).alias("cosine"))
+
+
 def _q_cosine_neardup(spark, sf_dir):
     """Embedding near-dup pairs (LSH-bucketed; rows-only — bucket hashes
     not reproducible in SQL, and exactness is covered by q_cosine_topk)."""
@@ -390,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_dups": _q_simhash_dups,
         "cosine_topk": _q_cosine_topk,
+        "ivf_topk": _q_ivf_topk,
         "cosine_neardup_pairs": _q_cosine_neardup,
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -443,6 +456,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": (
             "SELECT doc_id AS a, doc_id + 1000000 AS b, 1.0::DOUBLE AS jaccard "
             "FROM documents WHERE doc_id % 10 = 0"
+        ),
+        "ivf_topk": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.qv), 3) "
+            "AS cosine FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id "
+            "LIMIT 10"
         ),
         "cosine_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "

@@ -101,6 +101,73 @@ def lsh_topk(
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
+class IVFIndex:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    vector to a centroid; queries probe only the ``n_probe`` nearest
+    centroids' clusters with exact cosine inside.
+
+    The scale path sketched in this module's docstring made concrete:
+    ``fit`` is one ML job (sampled), ``assign`` adds the cluster id —
+    which doubles as the Iceberg partition column at rest — and
+    ``topk`` reads ~n_probe/k of the corpus.
+    """
+
+    def __init__(self, k: int = 16, seed: int = 42,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+        self.k = k
+        self.seed = seed
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.centroids: list[list[float]] | None = None
+
+    def fit(self, df: DataFrame, sample_fraction: float = 1.0) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = df if sample_fraction >= 1.0 else df.sample(
+            fraction=sample_fraction, seed=self.seed
+        )
+        vecs = train.select(
+            array_to_vector(F.col(self.vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=self.k, seed=self.seed).fit(vecs)
+        self.centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+        return self
+
+    def _nearest_centroids(self, query: list[float], n_probe: int) -> list[int]:
+        def dist2(c):
+            return sum((a - float(b)) ** 2 for a, b in zip(c, query))
+
+        order = sorted(range(self.k), key=lambda i: dist2(self.centroids[i]))
+        return order[:n_probe]
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        """Add the coarse cluster id (argmin centroid distance) as a column —
+        pure JVM expressions, no ML model needed at assignment time."""
+        assert self.centroids is not None, "fit() first"
+        best_id = F.lit(0)
+        best_d = F.lit(float("inf"))
+        for i, c in enumerate(self.centroids):
+            carr = F.array(*[F.lit(x) for x in c])
+            d = F.aggregate(
+                F.zip_with(F.col(self.vec_col), carr,
+                           lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            best_id = F.when(d < best_d, F.lit(i)).otherwise(best_id)
+            best_d = F.least(d, best_d)
+        return df.withColumn("ivf_cluster", best_id)
+
+    def topk(self, df: DataFrame, query: list[float], k: int = 10,
+             n_probe: int = 3) -> DataFrame:
+        """Approximate top-k: exact cosine over the n_probe nearest
+        clusters only."""
+        assigned = self.assign(df)
+        probes = self._nearest_centroids(query, n_probe)
+        cand = assigned.filter(F.col("ivf_cluster").isin(probes))
+        return cosine_topk(cand, query, k, self.vec_col, self.id_col)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95,
     vec_col: str = "embedding", id_col: str = "vec_id",

@@ -149,6 +149,25 @@ def test_similarity(spark):
     assert any({r.a, r.b} == {3, 999999} for r in pairs)
 
 
+def test_ivf_index(spark):
+    from sparkhtml.spark.similarity import IVFIndex, cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    idx = IVFIndex(k=4).fit(emb)
+    exact = [r.vec_id for r in cosine_topk(emb, q, 10).collect()]
+    # full probe reproduces exact ranking
+    full = [r.vec_id for r in idx.topk(emb, q, 10, n_probe=4).collect()]
+    assert full == exact
+    # partial probe finds the self-match and keeps decent recall
+    approx = [r.vec_id for r in idx.topk(emb, q, 10, n_probe=2).collect()]
+    assert approx[0] == 7
+    assert len(set(exact) & set(approx)) >= 5
+    # every vector gets a cluster in [0, k)
+    cl = idx.assign(emb).select("ivf_cluster").distinct().collect()
+    assert all(0 <= r.ivf_cluster < 4 for r in cl)
+
+
 def test_textstats(spark):
     from sparkhtml.spark.textstats import (
         fingerprint, lang_id, quality_features,
