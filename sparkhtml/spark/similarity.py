@@ -10,8 +10,8 @@ one top-k (`ORDER BY ... LIMIT k`, executed as TakeOrderedAndProject —
 no full sort). The LSH path buckets vectors by sign-bit signature so the
 near-dup self-join is an equi-join on the bucket key; at 10^12 rows the
 bucket key doubles as the Iceberg partition column so candidate pairs
-co-locate at rest. An IVF variant (k-means coarse quantizer) would slot
-in the same shape: assign → equi-join on centroid id.
+co-locate at rest. :class:`IVFIndex` is the k-means variant of the same
+shape: assign → filter/join on centroid id.
 """
 
 from __future__ import annotations
