@@ -91,6 +91,12 @@ _add("shift_jis", "csshiftjis", "ms932", "ms_kanji", "shift-jis",
 _add("euc-kr", "cseuckr", "csksc56011987", "euc-kr", "iso-ir-149", "korean",
      "ks_c_5601-1987", "ks_c_5601-1989", "ksc5601", "ksc_5601",
      "windows-949")
+# The WHATWG "replacement" encoding: these labels decode any input to a
+# single U+FFFD (a defense against cross-charset XSS smuggling). Python has
+# no such codec; decode_html_bytes special-cases the sentinel.
+_add("replacement", "csiso2022kr", "hz-gb-2312", "iso-2022-cn",
+     "iso-2022-cn-ext", "iso-2022-kr", "replacement")
+_add("x-user-defined", "x-user-defined")
 _add("utf-16be", "unicodefffe", "utf-16be")
 _add("utf-16le", "csunicode", "iso-10646-ucs-2", "ucs-2", "unicode",
      "unicodefeff", "utf-16", "utf-16le")
@@ -99,17 +105,33 @@ WHATWG_LABELS = _L
 
 
 def encoding_for_label(label: str) -> Optional[str]:
-    """S4: WHATWG label → canonical Python codec (HTMLEncoding.m:433-442)."""
+    """S4: WHATWG label → canonical Python codec (HTMLEncoding.m:433-442).
+
+    ``replacement`` and ``x-user-defined`` are returned as sentinels and
+    handled by :func:`decode_html_bytes` (no Python codec exists)."""
     if label is None:
         return None
     codec = _L.get(label.strip().lower())
     if codec is None:
         return None
+    if codec in ("replacement", "x-user-defined"):
+        return codec
     try:
         codecs.lookup(codec)
     except LookupError:  # pragma: no cover — all mapped codecs exist
         return None
     return codec
+
+
+def _decode_special(data: bytes, codec: str) -> Optional[str]:
+    if codec == "replacement":
+        return "\ufffd" if data else ""
+    if codec == "x-user-defined":
+        # WHATWG: ASCII passthrough, 0x80-0xFF → U+F780 + (b - 0x80)
+        return "".join(
+            chr(b) if b < 0x80 else chr(0xF780 + b - 0x80) for b in data
+        )
+    return None
 
 
 _CHARSET_IN_CONTENT_TYPE = re.compile(
@@ -169,6 +191,9 @@ def decode_html_bytes(
     mid-parse abort (we pre-scanned meta).
     """
     codec, confidence = sniff_encoding(data, content_type)
+    special = _decode_special(data, codec)
+    if special is not None:
+        return special, codec, confidence
     try:
         return data.decode(codec), codec, confidence
     except (UnicodeDecodeError, LookupError):

@@ -100,7 +100,8 @@ SCOPE_LIST_ITEM = SCOPE_DEFAULT | {"ol", "ul"}
 SCOPE_BUTTON = SCOPE_DEFAULT | {"button"}
 SCOPE_TABLE = frozenset("html table".split())
 
-IMPLIED_END = frozenset("dd dt li option optgroup p rp rt".split())
+# includes menuitem (reference parity, HTMLParser.m:3246)
+IMPLIED_END = frozenset("dd dt li menuitem option optgroup p rp rt".split())
 IMPLIED_END_THOROUGH = IMPLIED_END | {
     "caption", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr"
 }
