@@ -167,7 +167,12 @@ def css_select_df(nodes: DataFrame, selector: str) -> DataFrame:
     for cx in group.complexes:
         m = _complex_df(nodes, cx)
         result = m if result is None else result.unionByName(m)
-    return result.distinct().orderBy("doc_id", "node_id")
+    if len(group.complexes) > 1:
+        # only a selector GROUP can produce duplicates (a node matching
+        # two branches); filters and leftsemi joins never duplicate rows,
+        # so the single-complex path skips the dedup exchange entirely
+        result = result.dropDuplicates(["doc_id", "node_id"])
+    return result.orderBy("doc_id", "node_id")
 
 
 def _filter_mask(nodes: DataFrame, col: Column) -> DataFrame:
