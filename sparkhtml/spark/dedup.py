@@ -212,32 +212,37 @@ def simhash_df(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Data
     return df.select(F.col(id_col).alias("doc_id"), simhash(F.col(col)).alias("simhash"))
 
 
-def _stable_token_hash(tokens: list[str]) -> np.ndarray:
-    """FNV-1a 64-bit per token — deterministic across processes."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, tok in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in tok.encode("utf-8"):
-            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
-
-
 def _simhash_stable_batch(texts: pd.Series) -> pd.Series:
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        tokens = (t or "").lower().split()
-        if not tokens:
-            out[i] = 0
-            continue
-        hs = _stable_token_hash(tokens)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(tokens)
-        sig = 0
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= 1 << b
-        out[i] = sig - 2**64 if sig >= 2**63 else sig
+    """Whole-batch vectorized simhash.
+
+    Token hashing is ``pd.util.hash_array`` (SipHash with a fixed key —
+    deterministic across processes, C speed); the per-bit votes for ALL
+    documents in the Arrow batch are computed with one ``unpackbits`` +
+    ``add.reduceat`` pass instead of per-document Python loops."""
+    token_lists = [(t or "").lower().split() for t in texts]
+    counts = np.array([len(ts) for ts in token_lists], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    nz = counts > 0
+    if not nz.any():
+        return pd.Series(out)
+    all_tokens = np.array(
+        [tok for ts in token_lists for tok in ts], dtype=object
+    )
+    hs = pd.util.hash_array(all_tokens)  # uint64 per token
+    # N×64 bit matrix via byte view (little-endian: bit b of the value is
+    # column b after per-byte unpack with bitorder='little')
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    nz_counts = counts[nz]
+    offsets = np.zeros(len(nz_counts), dtype=np.int64)
+    np.cumsum(nz_counts[:-1], out=offsets[1:])
+    sums = np.add.reduceat(bits.astype(np.int32), offsets, axis=0)
+    votes = 2 * sums - nz_counts[:, None]
+    sig_bits = (votes > 0).astype(np.uint8)
+    packed = np.packbits(sig_bits, axis=1, bitorder="little")
+    sigs = packed.copy().view(np.int64).reshape(-1)
+    out[nz] = sigs
     return pd.Series(out)
 
 
