@@ -114,6 +114,21 @@ def _q_extract_text(spark, sf_dir):
     )
 
 
+def _q_extract_metrics(spark, sf_dir):
+    """Lineage/metrics table: span & word accounting over the built corpus
+    (nav contributes 2 link words; the content <p> carries the doc text)."""
+    from sparkhtml.spark.pipeline import extract_metrics_df
+
+    m = extract_metrics_df(_interleaved(spark, sf_dir))
+    return m.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_spans_in").cast("bigint").alias("n_spans_in"),
+        F.col("n_media").cast("bigint").alias("n_media"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_kept_words").cast("bigint").alias("n_kept_words"),
+    )
+
+
 def _q_escape(spark, sf_dir):
     from sparkhtml.spark.pipeline import make_udfs
 
@@ -392,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textcontent_roundtrip": _q_textcontent_roundtrip,
         "extract_media_passthrough": _q_extract_media_passthrough,
         "extract_text": _q_extract_text,
+        "extract_metrics": _q_extract_metrics,
         "html_escape": _q_escape,
         "html_unescape": _q_unescape,
         "nodes_tag_counts": _q_tag_counts,
@@ -430,6 +446,13 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
             "AS extracted FROM documents"
+        ),
+        "extract_metrics": (
+            "SELECT doc_id, 2::BIGINT AS n_spans_in, 1::BIGINT AS n_media, "
+            "(length(list_filter(string_split_regex(text, '\\s+'), "
+            "w -> length(w) > 0)) + 2)::BIGINT AS n_words, "
+            "length(list_filter(string_split_regex(text, '\\s+'), "
+            "w -> length(w) > 0))::BIGINT AS n_kept_words FROM documents"
         ),
         "html_escape": (
             "SELECT doc_id, replace(replace(replace(replace("
