@@ -224,7 +224,7 @@ def _metrics_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for s in spans:
                 if s["kind"] != "text":
                     continue
-                dom = FlatDOM.from_html(s["text"] or "", collect_errors=False)
+                dom = FlatDOM.from_html(s["text"] or "", collect_errors=True)
                 m = doc_metrics(dom)
                 n_nodes += m["n_nodes"]
                 n_kept += m["n_kept_words"]

@@ -213,3 +213,24 @@ def test_datagen_shape():
     # offsets are dense 0..n-1 per doc
     for d in docs:
         assert [s["offset"] for s in d["spans"]] == list(range(len(d["spans"])))
+
+
+def test_metrics_batch_counts_parse_errors():
+    """extract_metrics must report real parse-error counts (regression:
+    collect_errors=False silently zeroed n_errors for every document)."""
+    import pandas as pd
+    from sparkhtml.spark.pipeline import _metrics_batch
+
+    bad = "<b><i>x</b></i><p><table><div></div>"  # misnesting + foster
+    good = "<!DOCTYPE html><p>hello world</p>"
+    pdf = pd.DataFrame({
+        "doc_id": ["bad", "good"],
+        "spans": [
+            [{"kind": "text", "text": bad, "media_ref": None, "offset": 0}],
+            [{"kind": "text", "text": good, "media_ref": None, "offset": 0}],
+        ],
+    })
+    out = pd.concat(list(_metrics_batch(iter([pdf]))))
+    by_id = out.set_index("doc_id")
+    assert by_id.loc["bad", "n_errors"] > 0
+    assert by_id.loc["good", "n_errors"] == 0
