@@ -53,10 +53,20 @@ def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_imports(spark: SparkSession) -> None:
+    """Ship sparkhtml to executors of an externally created session (the
+    harness builds its own SparkSession; get_spark's PYTHONPATH plumbing
+    never ran, so executor imports would fail when cwd != repo root)."""
+    from sparkhtml.spark.session import ensure_executor_imports
+
+    ensure_executor_imports(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: north-rule extraction over sf0.001 interleaved docs."""
     from sparkhtml.spark.pipeline import extract_spans_df
 
+    _ensure_imports(spark)
     docs = _interleaved(spark, "/root/testdata/sf0.001")
     out = extract_spans_df(docs)
     return out.select(
@@ -402,8 +412,16 @@ def _q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def _with_imports(fn):
+    def wrapped(spark, sf_dir):
+        _ensure_imports(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _with_imports(fn) for name, fn in {
         "textcontent_roundtrip": _q_textcontent_roundtrip,
         "extract_media_passthrough": _q_extract_media_passthrough,
         "extract_text": _q_extract_text,
@@ -430,7 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_nth": _q_events_nth,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -20,11 +20,16 @@ ENTITIES: dict[str, str] = html.entities.html5
 # Longest entity name including the semicolon (``CounterClockwiseContourIntegral;``).
 MAX_ENTITY_LEN: int = max(len(k) for k in ENTITIES)
 
-# First-character index: prefix buckets make the longest-match scan cheap.
-_BY_FIRST: dict[str, list[str]] = {}
+# Entity names contain ';' only as their final character, so the candidate
+# ending at the first ';' in the window is the ONLY possible semicolon-
+# terminated match — one dict lookup resolves the common well-formed case.
+# Only the ~legacy semicolonless subset needs a longest-prefix scan, and that
+# set is small; bucket it by first character, longest first.
+_BY_FIRST_LEGACY: dict[str, list[str]] = {}
 for _name in ENTITIES:
-    _BY_FIRST.setdefault(_name[0], []).append(_name)
-for _k, _v in _BY_FIRST.items():
+    if not _name.endswith(";"):
+        _BY_FIRST_LEGACY.setdefault(_name[0], []).append(_name)
+for _k, _v in _BY_FIRST_LEGACY.items():
     # longest first so the first hit is the longest match
     _v.sort(key=len, reverse=True)
 
@@ -121,14 +126,19 @@ def consume_char_ref(
         elif errors is not None:
             errors.append("missing-semicolon-after-character-reference")
         return map_numeric(cp, errors), k
-    bucket = _BY_FIRST.get(c)
-    if bucket is not None:
+    if c in _ALNUM:
         window = s[j : j + MAX_ENTITY_LEN]
         best = None
-        for name in bucket:
-            if window.startswith(name):
-                best = name
-                break  # bucket is longest-first
+        # Semicolon-terminated candidate: unique, one dict lookup.
+        semi = window.find(";")
+        if semi != -1 and window[: semi + 1] in ENTITIES:
+            best = window[: semi + 1]
+        else:
+            # Legacy semicolonless subset, longest-prefix (HTMLEntities.m:2318).
+            for name in _BY_FIRST_LEGACY.get(c, ()):
+                if window.startswith(name):
+                    best = name
+                    break  # bucket is longest-first
         if best is not None:
             end = j + len(best)
             if not best.endswith(";"):

@@ -58,3 +58,46 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+_PYFILES_SENT: set[int] = set()
+
+
+def ensure_executor_imports(spark: SparkSession) -> None:
+    """Make ``sparkhtml`` importable on executors of an EXTERNALLY created
+    session (one that didn't go through :func:`get_spark`, so the
+    PYTHONPATH env plumbing never ran — e.g. the driver harness builds its
+    own SparkSession and only then calls into us). ``addPyFile`` works
+    after JVM start; this is the programmatic twin of
+    ``spark-submit --py-files dist/sparkhtml.zip``.
+
+    Idempotent per SparkContext; rebuilds the zip when sources are newer.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PYFILES_SENT:
+        return
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.join(repo_root, "sparkhtml")
+    newest = 0.0
+    entries = []
+    for dirpath, _dirs, names in os.walk(pkg_root):
+        for name in names:
+            if name.endswith(".py"):
+                full = os.path.join(dirpath, name)
+                entries.append(full)
+                newest = max(newest, os.path.getmtime(full))
+    zip_path = os.path.join(tempfile.gettempdir(), "sparkhtml_pyfiles.zip")
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for full in sorted(entries):
+                z.write(full, os.path.relpath(full, repo_root))
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    _PYFILES_SENT.add(key)

@@ -31,16 +31,38 @@ NO_QUIRKS, QUIRKS, LIMITED_QUIRKS = 0, 1, 2
 
 
 class Node:
-    __slots__ = ("kind", "tag", "ns", "attrs", "text", "children", "parent")
+    __slots__ = ("kind", "tag", "ns", "attrs", "_parts", "children", "parent")
 
     def __init__(self, kind, tag=None, ns=NS_HTML, attrs=None, text=None):
         self.kind = kind
         self.tag = tag
         self.ns = ns
         self.attrs = attrs if attrs is not None else []
-        self.text = text
+        self._parts = None if text is None else [text]
         self.children: list[Node] = []
         self.parent: Optional[Node] = None
+
+    # Text is stored as a parts list so coalescing appends are O(1);
+    # `node.text += x` on a plain attribute re-copies the whole string
+    # every append (refcount > 1 defeats CPython's in-place realloc),
+    # which made entity-dense documents parse in O(n²).
+    @property
+    def text(self):
+        p = self._parts
+        if p is None:
+            return None
+        if len(p) > 1:
+            joined = "".join(p)
+            self._parts = [joined]
+            return joined
+        return p[0]
+
+    @text.setter
+    def text(self, v):
+        self._parts = None if v is None else [v]
+
+    def append_text(self, data: str) -> None:
+        self._parts.append(data)
 
     # -- mutation (reference parity: HTMLNode.m:96-196) ----------------
 
@@ -551,7 +573,7 @@ class TreeBuilder:
         else:
             prev = parent.children[idx - 1] if idx > 0 else None
         if prev is not None and prev.kind == TEXT:
-            prev.text += data
+            prev.append_text(data)
             return
         if parent.kind == DOCUMENT:
             return  # text never attaches directly to the document
