@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..selector import Complex, Compound, Simple, parse_selector
 
 ELEMENT = 1
+TEXT = 2
 
 
 class UnsupportedSelector(ValueError):
@@ -38,6 +39,10 @@ def _attr_value(name: str) -> Column:
     occurrence wins, matching HTMLOrderedDictionary semantics)."""
     hits = F.filter("attrs", lambda a: a["name"] == F.lit(name))
     return F.when(F.size(hits) > 0, F.element_at(hits, 1)["value"])
+
+
+def _attr_has(name: str) -> Column:
+    return F.exists("attrs", lambda a: a["name"] == F.lit(name))
 
 
 def _simple_col(s: Simple, df: DataFrame) -> Column:
@@ -72,6 +77,8 @@ def _simple_col(s: Simple, df: DataFrame) -> Column:
     if s.kind == "pseudo":
         return _pseudo_col(s, df)
     if s.kind == "not":
+        # column path only for a purely column-expressible single compound;
+        # anything richer is handled as a post-op anti-join in _compound_df
         inner = s.inner
         if (
             len(inner.complexes) == 1
@@ -132,12 +139,20 @@ def _pseudo_col(s: Simple, df: DataFrame) -> Column:
         return is_el & (d % a == 0) & ((d / a) >= 0)
     if name == "root":
         return is_el & (F.col("depth") == 1)
-    if name == "empty":
-        # no element children and no non-empty text children: subtree has
-        # only the node itself, or only empty-text descendants — cheap
-        # approximation via subtree arithmetic needs a join; use the exact
-        # rule on direct children via a self-join in _complex_df instead.
-        raise UnsupportedSelector(":empty (use the in-UDF matcher)")
+    if name == "link":
+        # a/area/link with href (HTMLSelector.m:318-330)
+        return is_el & F.col("tag").isin("a", "area", "link") & _attr_has("href")
+    if name in ("visited", "active", "hover", "focus"):
+        return F.lit(False)  # ≡ false in a static DOM (HTMLSelector.m:477-484)
+    if name == "checked":
+        return is_el & (
+            ((F.col("tag") == "input") & _attr_has("checked"))
+            | ((F.col("tag") == "option") & _attr_has("selected"))
+        )
+    if name in ("empty", "enabled", "disabled"):
+        # need other rows (children / ancestor fieldsets): DataFrame-level
+        # post-ops in _compound_df, not row-local columns
+        raise UnsupportedSelector(f":{name} (post-op)")
     raise UnsupportedSelector(f":{name} (use the in-UDF matcher)")
 
 
@@ -148,21 +163,210 @@ def _compound_col(comp: Compound, df: DataFrame) -> Column:
     return col
 
 
+# ------------------------------------------------- DataFrame-level pseudos
+#
+# :empty, :enabled/:disabled (fieldset propagation) and :not(<complex>)
+# reference OTHER rows of the nodes table, so they compile to joins against
+# derived row sets instead of row-local Columns.
+
+_CAN_DISABLE = ("button", "input", "select", "textarea", "optgroup",
+                "option", "fieldset")
+_CONTROLS = ("button", "input", "select", "textarea")
+
+
+def _post_empty(cur: DataFrame, nodes: DataFrame) -> DataFrame:
+    """:empty — no element children, no non-empty text children
+    (HTMLSelector.m:138-153): anti-join against 'affecting' child rows."""
+    affecting = nodes.filter(
+        (F.col("kind") == ELEMENT)
+        | ((F.col("kind") == TEXT) & (F.col("text") != ""))
+    ).select(
+        F.col("doc_id").alias("e_doc"), F.col("parent").alias("e_parent")
+    )
+    return cur.join(
+        affecting,
+        (cur["doc_id"] == affecting["e_doc"])
+        & (cur["node_id"] == affecting["e_parent"]),
+        "left_anti",
+    )
+
+
+def _disabled_fieldset_ranges(nodes: DataFrame) -> DataFrame:
+    """Subtree ranges of disabled <fieldset>s minus their first <legend>
+    subtree (HTMLSelector.m:332-396 propagation rule)."""
+    is_el = F.col("kind") == ELEMENT
+    fs = nodes.filter(
+        is_el & (F.col("tag") == "fieldset") & _attr_has("disabled")
+    ).select(
+        F.col("doc_id").alias("f_doc"),
+        F.col("node_id").alias("f_id"),
+        F.col("subtree").alias("f_sub"),
+    )
+    legends = nodes.filter(is_el & (F.col("tag") == "legend")).select(
+        F.col("doc_id").alias("l_doc"),
+        F.col("parent").alias("l_parent"),
+        F.col("node_id").alias("l_id"),
+        F.col("subtree").alias("l_sub"),
+    )
+    first_leg = legends.groupBy("l_doc", "l_parent").agg(
+        F.min("l_id").alias("leg_id"),
+        F.min_by("l_sub", "l_id").alias("leg_sub"),
+    )
+    return fs.join(
+        first_leg,
+        (fs["f_doc"] == first_leg["l_doc"]) & (fs["f_id"] == first_leg["l_parent"]),
+        "left",
+    ).select("f_doc", "f_id", "f_sub", "leg_id", "leg_sub")
+
+
+def _propagation_cond(cur: DataFrame, ranges: DataFrame) -> Column:
+    inside = (
+        (cur["doc_id"] == ranges["f_doc"])
+        & (cur["node_id"] > ranges["f_id"])
+        & (cur["node_id"] < ranges["f_sub"])
+    )
+    outside_legend = (
+        ranges["leg_id"].isNull()
+        | (cur["node_id"] < ranges["leg_id"])
+        | (cur["node_id"] >= ranges["leg_sub"])
+    )
+    return inside & outside_legend
+
+
+def _post_disabled(cur: DataFrame, nodes: DataFrame) -> DataFrame:
+    direct = F.col("tag").isin(*_CAN_DISABLE) & _attr_has("disabled")
+    by_attr = cur.filter(direct)
+    candidates = cur.filter(~direct & F.col("tag").isin(*_CONTROLS))
+    ranges = _disabled_fieldset_ranges(nodes)
+    propagated = candidates.join(
+        ranges, _propagation_cond(candidates, ranges), "leftsemi"
+    )
+    return by_attr.unionByName(propagated)  # disjoint by construction
+
+
+def _post_enabled(cur: DataFrame, nodes: DataFrame) -> DataFrame:
+    direct = F.col("tag").isin(*_CAN_DISABLE) & _attr_has("disabled")
+    base = cur.filter(F.col("tag").isin(*_CAN_DISABLE) & ~direct)
+    non_controls = base.filter(~F.col("tag").isin(*_CONTROLS))
+    controls = base.filter(F.col("tag").isin(*_CONTROLS))
+    ranges = _disabled_fieldset_ranges(nodes)
+    not_propagated = controls.join(
+        ranges, _propagation_cond(controls, ranges), "left_anti"
+    )
+    return non_controls.unionByName(not_propagated)
+
+
+def _post_not(cur: DataFrame, nodes: DataFrame, inner) -> DataFrame:
+    """:not(<selector group with combinators>) — anti-join per complex."""
+    for cx in inner.complexes:
+        m = _complex_df(nodes, cx).select(
+            F.col("doc_id").alias("n_doc"), F.col("node_id").alias("n_id")
+        )
+        cur = cur.join(
+            m,
+            (cur["doc_id"] == m["n_doc"]) & (cur["node_id"] == m["n_id"]),
+            "left_anti",
+        )
+    return cur
+
+
+def _simple_is_columnar(s: Simple) -> bool:
+    if s.kind == "pseudo" and s.name in ("empty", "enabled", "disabled"):
+        return False
+    if s.kind == "not":
+        return (
+            len(s.inner.complexes) == 1
+            and len(s.inner.complexes[0].compounds) == 1
+            and all(
+                _simple_is_columnar(x)
+                for x in s.inner.complexes[0].compounds[0].simples
+            )
+        )
+    return True
+
+
+def _compound_df(nodes: DataFrame, comp: Compound) -> DataFrame:
+    """Rows of ``nodes`` matching a compound: row-local simples fold into
+    one Column filter; the rest become DataFrame post-ops (joins)."""
+    col = F.col("kind") == ELEMENT
+    post = []
+    for s in comp.simples:
+        if s.kind == "pseudo" and s.name == "empty":
+            post.append(_post_empty)
+        elif s.kind == "pseudo" and s.name == "disabled":
+            post.append(_post_disabled)
+        elif s.kind == "pseudo" and s.name == "enabled":
+            post.append(_post_enabled)
+        elif s.kind == "not" and not _simple_is_columnar(s):
+            post.append(lambda cur, nd, inner=s.inner: _post_not(cur, nd, inner))
+        else:
+            col = col & _simple_col(s, nodes)
+    cur = _filter_mask(nodes, col).select(*_MATCH_COLS)
+    for op in post:
+        cur = op(cur, nodes)
+    return cur
+
+
 _MATCH_COLS = [
     "doc_id", "node_id", "parent", "depth", "order", "kind", "tag", "ns",
     "attrs", "text", "subtree",
 ]
 
 
-def css_select_df(nodes: DataFrame, selector: str) -> DataFrame:
+def _plan_refs(group) -> int:
+    """How many times the compiled plan will reference the nodes input."""
+    refs = 0
+    for cx in group.complexes:
+        for comp in cx.compounds:
+            refs += 1
+            for s in comp.simples:
+                if s.kind == "not" or (
+                    s.kind == "pseudo"
+                    and s.name in ("empty", "enabled", "disabled")
+                ):
+                    refs += 1
+        refs += sum(1 for c in cx.combinators if c in ("+", "~"))
+    return refs
+
+
+def css_select_df(
+    nodes: DataFrame,
+    selector: str,
+    *,
+    sort: str = "local",
+    materialize: str = "auto",
+) -> DataFrame:
     """Compile ``selector`` and return matching node rows in tree order.
 
     Supports the DataFrame-expressible subset (see module docstring);
     raises :class:`UnsupportedSelector` otherwise so callers fall back to
     the in-UDF matcher, mirroring the reference's single code path with a
     faster plan where available.
+
+    ``sort``: ``"local"`` (default) orders within partitions — free of the
+    global sort exchange; ``"global"`` is total tree order across the whole
+    result; ``"none"`` skips ordering entirely.
+
+    ``materialize``: a multi-compound selector references ``nodes`` once per
+    compound (the reference scans its tree once per query,
+    HTMLSelector.m:925-952 — here each reference re-executes the input
+    plan). When the input is NOT a cheap re-scan (e.g. a live
+    ``parse_nodes_df`` MapInPandas re-parses the corpus per reference),
+    ``"auto"`` persists it for the duration of the query; the cache is
+    released when the caller's DataFrame is garbage collected.
+    ``"never"``/``"always"`` override.
     """
     group = parse_selector(selector)
+    if materialize == "always" or (
+        materialize == "auto"
+        and _plan_refs(group) > 1
+        and nodes.storageLevel.useMemory is False
+        and nodes.storageLevel.useDisk is False
+        and _is_expensive_scan(nodes)
+    ):
+        from pyspark import StorageLevel
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     result = None
     for cx in group.complexes:
         m = _complex_df(nodes, cx)
@@ -172,7 +376,21 @@ def css_select_df(nodes: DataFrame, selector: str) -> DataFrame:
         # two branches); filters and leftsemi joins never duplicate rows,
         # so the single-complex path skips the dedup exchange entirely
         result = result.dropDuplicates(["doc_id", "node_id"])
-    return result.orderBy("doc_id", "node_id")
+    if sort == "global":
+        return result.orderBy("doc_id", "node_id")
+    if sort == "local":
+        return result.sortWithinPartitions("doc_id", "node_id")
+    return result
+
+
+def _is_expensive_scan(nodes: DataFrame) -> bool:
+    """True when re-executing the input plan repeats Python-side work
+    (MapInPandas / ArrowEvalPython), as a live parse_nodes_df does."""
+    try:
+        plan = nodes._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover — be conservative off-JVM
+        return True
+    return "MapInPandas" in plan or "ArrowEvalPython" in plan or "PythonUDF" in plan
 
 
 def _filter_mask(nodes: DataFrame, col: Column) -> DataFrame:
@@ -183,10 +401,10 @@ def _filter_mask(nodes: DataFrame, col: Column) -> DataFrame:
 
 def _complex_df(nodes: DataFrame, cx: Complex) -> DataFrame:
     """Right-to-left: start from rightmost matches, constrain leftward."""
-    cur = _filter_mask(nodes, _compound_col(cx.compounds[-1], nodes)).select(*_MATCH_COLS)
+    cur = _compound_df(nodes, cx.compounds[-1])
     for k in range(len(cx.combinators) - 1, -1, -1):
         comb = cx.combinators[k]
-        left = _filter_mask(nodes, _compound_col(cx.compounds[k], nodes)).select(
+        left = _compound_df(nodes, cx.compounds[k]).select(
             F.col("doc_id").alias("a_doc"),
             F.col("node_id").alias("a_id"),
             F.col("parent").alias("a_parent"),

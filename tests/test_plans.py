@@ -103,3 +103,45 @@ def test_exact_dedup_single_shuffle(spark):
     p = plan(exact_dup_groups(docs))
     # one exchange for the groupBy — no extra repartitions
     assert p.count("Exchange") <= 2
+
+
+def test_css_select_parses_corpus_once(spark):
+    """A multi-compound selector over a LIVE parse must not re-parse the
+    corpus once per compound: css_select_df auto-persists the nodes input,
+    so the physical plan shows ONE MapInPandas (inside the InMemoryRelation)
+    and the join sides read the cache (regression: two parses per join)."""
+    from sparkhtml.spark.pipeline import parse_nodes_df
+    from sparkhtml.spark.queries import css_select_df
+
+    df = spark.createDataFrame(
+        [(str(i), "<div><p>a</p><span>b</span></div>") for i in range(4)],
+        ["doc_id", "html"],
+    )
+    nodes = parse_nodes_df(df)
+    out = css_select_df(nodes, "div > p")
+    p = plan(out)
+    # every MapInPandas in the printed plan must sit under a cached
+    # InMemoryRelation (the cache manager dedupes them to ONE execution);
+    # a bare MapInPandas on a join side means a second live parse
+    assert "InMemoryTableScan" in p
+    assert p.count("MapInPandas") == p.count("InMemoryRelation"), p
+    assert out.count() == 4
+    # default ordering is partition-local: no global Sort exchange on top
+    assert "rangepartitioning" not in p.lower().replace(" ", "")
+
+
+def test_css_select_no_persist_for_materialized_input(spark, tmp_path):
+    """A parquet-backed nodes table must NOT be force-cached (that would
+    defeat predicate pushdown and spend memory for a cheap re-scan)."""
+    from sparkhtml.spark.pipeline import parse_nodes_df
+    from sparkhtml.spark.queries import css_select_df
+
+    df = spark.createDataFrame(
+        [("1", "<div><p>a</p></div>")], ["doc_id", "html"]
+    )
+    path = str(tmp_path / "nodes.parquet")
+    parse_nodes_df(df).write.mode("overwrite").parquet(path)
+    nodes = spark.read.parquet(path)
+    out = css_select_df(nodes, "div > p")
+    assert "InMemoryTableScan" not in plan(out)
+    assert out.count() == 1

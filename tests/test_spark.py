@@ -236,3 +236,34 @@ def test_multimodal(spark):
     assert any(r.n_frames > 1 for r in feats if r.kind == "video")
     stub = media_features_df(media.limit(2), fake=False).collect()
     assert all(r.error for r in stub)  # error channel, not task failure
+
+
+def test_selector_plan_parity_postop_pseudos(spark):
+    """DataFrame-plan coverage for :empty, :not(complex), :link, :checked,
+    :enabled/:disabled (fieldset propagation incl. first-legend carve-out)
+    — parity with the pure-Python matcher."""
+    html = (
+        "<div id=w><p></p><p> </p><p>full</p><span><i></i></span></div>"
+        '<a href="/x">l</a><a name=y>n</a>'
+        "<form><input type=checkbox checked><input type=text>"
+        "<option selected>o</option><option>p</option>"
+        "<fieldset disabled><legend><input id=inleg></legend>"
+        "<input id=fdis><select></select></fieldset>"
+        "<fieldset><input id=fok></fieldset>"
+        "<button disabled>b</button><textarea></textarea></form>"
+    )
+    df = spark.createDataFrame(
+        [(str(i), html) for i in range(3)], ["doc_id", "html"]
+    )
+    nodes = parse_nodes_df(df).cache()
+    dom = FlatDOM.from_html(html)
+    for sel in [
+        "p:empty", "span :empty", "div :not(span i)", ":not(div p)",
+        "a:link", ":checked", "input:checked",
+        "input:disabled", ":disabled", "input:enabled", ":enabled",
+        "p:not(:empty)", "a:visited", "fieldset :enabled",
+    ]:
+        got = css_select_df(nodes, sel).count()
+        exp = len(py_select(dom, sel)) * 3
+        assert got == exp, f"{sel}: {got} != {exp}"
+    nodes.unpersist()
