@@ -290,7 +290,7 @@ def _q_cosine_neardup(spark, sf_dir):
         "vec_id", F.col("vec_id") + 1000000
     )
     return cosine_near_dup_pairs(
-        emb.unionByName(dup), threshold=0.9999
+        emb.unionByName(dup), threshold=0.9999, dim=64
     ).select("a", "b")
 
 
@@ -351,6 +351,40 @@ def _q_fingerprint(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal feature extraction over a documents-derived media table:
+    the feature VALUES are the permanent deterministic-fake contract
+    (SHA-256-derived, not SQL-expressible); frame counts, kinds and vector
+    shape have an exact oracle."""
+    from sparkhtml.spark.multimodal import media_features_df
+
+    docs = _docs(spark, sf_dir)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.concat(F.lit("m-"), F.col("doc_id")).alias("media_ref"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(kind == "video", ((F.col("doc_id") % 9 + 1) * 1000).cast("int"))
+        .alias("duration_ms"),
+    )
+    out = media_features_df(media)
+    return out.select(
+        "media_ref",
+        "kind",
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.size("feature").cast("bigint").alias("dim"),
+        F.when(F.col("error").isNull(), F.lit(0)).otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("n_err"),
+    )
 
 
 def _q_events_lag(spark, sf_dir):
@@ -444,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "media_features": _q_media_features,
         "events_lag": _q_events_lag,
         "events_nth": _q_events_nth,
         "pricing_summary": _q_pricing_summary,
@@ -557,6 +592,15 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
             "'g'))) AS fingerprint FROM documents"
+        ),
+        "media_features": (
+            "SELECT 'm-' || doc_id AS media_ref, "
+            "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, "
+            "CASE WHEN doc_id % 3 = 2 THEN "
+            "greatest(1, ((doc_id % 9 + 1) * 1000) // 1000) "
+            "ELSE 1 END::BIGINT AS n_frames, "
+            "16::BIGINT AS dim, 0::BIGINT AS n_err FROM documents"
         ),
         "events_lag": (
             "SELECT event_id, user_id, lag(event_type) OVER "

@@ -2,11 +2,14 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata, processed
 by Arrow-batched ``mapInPandas`` stages. The Spark-side plumbing — schema,
-batch shape, partitioning, UDF signatures — is real and tested; the actual
-codec work is STUBBED (this container has no image/audio libraries): decode
-runs a deterministic fake when ``fake=True`` and raises
-``NotImplementedError`` otherwise, with the import-try showing exactly
-where Pillow/av would slot in.
+batch shape, partitioning, UDF signatures — is real and tested.
+
+Decode contract: the deterministic fake (``fake=True``, the default) is the
+PERMANENT test/bench contract — SHA-256-derived feature vectors, stable
+across processes and oracle-checkable (frame counts + shapes have an exact
+SQL oracle in ``__spark_entry__``). The real-codec path stays import-gated
+(``fake=False`` raises ``NotImplementedError`` until Pillow/av are present,
+surfaced per-row through the ``error`` column, never a task failure).
 """
 
 from __future__ import annotations
@@ -77,33 +80,47 @@ def media_features_df(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k.name: [] for k in FEATURES_SCHEMA.fields}
-            for _, row in pdf.iterrows():
-                err = None
-                n_frames = 1
+            n = len(pdf)
+            kinds = pdf["kind"].to_numpy()
+            durs = (
+                pd.to_numeric(pdf["duration_ms"], errors="coerce")
+                .fillna(0)
+                .astype("int64")
+                .to_numpy()
+            )
+            # whole-batch frame counts (video samples every frame_stride_ms)
+            n_frames = np.where(
+                kinds == "video",
+                np.maximum(1, durs // frame_stride_ms),
+                1,
+            ).astype("int32")
+            feats = np.zeros((n, dim), dtype=np.float64)
+            errors: list[str | None] = [None] * n
+            # column-zip iteration (NOT iterrows: no per-row Series build);
+            # the sha256 per frame is C-speed
+            for i, (payload, mime, nf) in enumerate(
+                zip(pdf["payload"].to_numpy(), pdf["mime"].to_numpy(), n_frames)
+            ):
                 try:
-                    if row["kind"] == "video":
-                        dur = int(row["duration_ms"] or 0)
-                        n_frames = max(1, dur // frame_stride_ms)
                     if fake:
-                        feats = [
-                            _decode_fake(
-                                (row["payload"] or b"") + bytes([k % 256]), dim
-                            )
-                            for k in range(n_frames)
-                        ]
-                        feat = np.mean(feats, axis=0)
+                        p = bytes(payload) if payload is not None else b""
+                        acc = np.zeros(dim, dtype=np.float64)
+                        for k in range(int(nf)):
+                            acc += _decode_fake(p + bytes([k % 256]), dim)
+                        feats[i] = acc / int(nf)
                     else:
-                        feat = _decode_real(row["payload"], row["mime"])
+                        feats[i] = _decode_real(payload, mime)[:dim]
                 except NotImplementedError as exc:
-                    feat = np.zeros(dim, dtype=np.float32)
-                    err = str(exc)
-                out["media_ref"].append(row["media_ref"])
-                out["kind"].append(row["kind"])
-                out["feature"].append([float(x) for x in feat])
-                out["n_frames"].append(n_frames)
-                out["error"].append(err)
-            yield pd.DataFrame(out)
+                    errors[i] = str(exc)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].to_numpy(),
+                    "kind": kinds,
+                    "feature": [row.astype(np.float32) for row in feats],
+                    "n_frames": n_frames,
+                    "error": errors,
+                }
+            )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -142,21 +144,30 @@ class IVFIndex:
         return order[:n_probe]
 
     def assign(self, df: DataFrame) -> DataFrame:
-        """Add the coarse cluster id (argmin centroid distance) as a column —
-        pure JVM expressions, no ML model needed at assignment time."""
+        """Add the coarse cluster id (argmin centroid distance) as a column.
+
+        One numpy matmul per Arrow batch against the broadcast centroid
+        matrix: argmin ‖x−c‖² == argmin (‖c‖² − 2x·c) since ‖x‖² is
+        row-constant. A per-centroid Catalyst expression chain would be a
+        multi-megabyte plan at the k≈4096 a 100 TB corpus needs; the
+        vectorized UDF is O(batch × k × d) BLAS instead.
+        """
         assert self.centroids is not None, "fit() first"
-        best_id = F.lit(0)
-        best_d = F.lit(float("inf"))
-        for i, c in enumerate(self.centroids):
-            carr = F.array(*[F.lit(x) for x in c])
-            d = F.aggregate(
-                F.zip_with(F.col(self.vec_col), carr,
-                           lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            best_id = F.when(d < best_d, F.lit(i)).otherwise(best_id)
-            best_d = F.least(d, best_d)
-        return df.withColumn("ivf_cluster", best_id)
+        from pyspark.sql.functions import pandas_udf
+
+        bc = df.sparkSession.sparkContext.broadcast(
+            np.asarray(self.centroids, dtype=np.float64)
+        )
+
+        @pandas_udf("int")
+        def _assign(v: pd.Series) -> pd.Series:
+            C = bc.value  # (k, d)
+            cn = (C * C).sum(axis=1)  # ‖c‖²
+            M = np.stack(v.to_numpy())  # (batch, d)
+            scores = cn - 2.0 * (M @ C.T)  # (batch, k)
+            return pd.Series(scores.argmin(axis=1).astype("int32"))
+
+        return df.withColumn("ivf_cluster", _assign(F.col(self.vec_col)))
 
     def topk(self, df: DataFrame, query: list[float], k: int = 10,
              n_probe: int = 3) -> DataFrame:
@@ -169,21 +180,35 @@ class IVFIndex:
 
 
 def cosine_near_dup_pairs(
-    df: DataFrame, threshold: float = 0.95,
+    df: DataFrame, threshold: float = 0.95, *, dim: int,
     vec_col: str = "embedding", id_col: str = "vec_id",
-    n_planes: int = 12, seed: int = 42, dim: int | None = None,
+    n_planes: int = 12, seed: int = 42, max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
 
     Same-bucket candidates only (sign-LSH collision probability rises with
     cosine), exact cosine verification inside buckets.
+
+    ``dim`` is required (driver-side hyperplane constants need it; deriving
+    it with ``.first()`` would run a job in the hot path).
+
+    ``max_bucket`` caps bucket width, mirroring ``minhash_lsh_pairs``: one
+    dense embedding cluster (near-identical boilerplate pages) makes the
+    self-join quadratic otherwise. Oversized buckets are dropped — exact
+    dedup runs first in the documented pipeline (SCALE.md §5) and mops up
+    identical payloads.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     sig = hyperplane_signature(vec_col, dim, n_planes, seed)
     b = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket")
     ).cache()
+    if max_bucket is not None:
+        widths = b.groupBy("bucket").agg(F.count("*").alias("_w"))
+        b = (
+            b.join(widths, "bucket")
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
+        )
     l, r = b.alias("l"), b.alias("r")
     cos = dot_col(F.col("l.v"), F.col("r.v")) / (
         F.greatest(_norm_col("l.v"), F.lit(1e-12))

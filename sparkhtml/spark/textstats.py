@@ -47,17 +47,31 @@ def word_count(col: str = "text") -> Column:
 
 
 def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword-ratio quality features + score."""
+    """Length / punctuation / stopword-ratio quality features + score.
+
+    The word array is BOUND once as a real column: Catalyst has no
+    common-subexpression reuse across higher-order-function lambda bodies,
+    so referencing ``split(...)`` in each feature re-tokenized the text
+    four times per row (CollapseProject keeps a non-cheap multi-use alias
+    materialized, so the bound column is evaluated once)."""
     c = F.col(col)
-    words = F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+    bound = df.withColumn(
+        "_words", F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+    )
+    words = F.col("_words")
     n_words = F.size(words)
     n_chars = F.length(c)
     stop = F.array(*[F.lit(w) for w in _STOP_MARKERS["en"]])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, F.lower(w))))
     n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    mean_word_len = (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1))
+    # exact: mean of word lengths from the bound array (the old
+    # (n_chars - n_words + 1)/n_words shortcut miscounts under runs of
+    # whitespace)
+    mean_word_len = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words, F.lit(1))
     return (
-        df.withColumn("n_chars", n_chars.cast("long"))
+        bound.withColumn("n_chars", n_chars.cast("long"))
         .withColumn("n_words", n_words.cast("long"))
         .withColumn("stopword_ratio",
                     F.round(n_stop / F.greatest(n_words, F.lit(1)), 6))
@@ -75,6 +89,7 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
                 6,
             ),
         )
+        .drop("_words")
     )
 
 
@@ -85,13 +100,16 @@ def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     (undetermined) when no marker hits.
     """
     c = F.lower(F.col(col))
-    words = F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
-    out = df
+    # bind the word array ONCE (no HOF-lambda CSE in Catalyst: a naive
+    # per-language filter(split(...)) re-tokenizes the text 4×)
+    out = df.withColumn(
+        "_words", F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+    )
     for lang, markers in _STOP_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
         out = out.withColumn(
             f"_hits_{lang}",
-            F.size(F.filter(words, lambda w: F.array_contains(arr, w))),
+            F.size(F.filter(F.col("_words"), lambda w: F.array_contains(arr, w))),
         )
     best = F.lit("und")
     best_n = F.lit(0)
@@ -100,7 +118,7 @@ def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
         best = F.when(n >= F.greatest(best_n, F.lit(1)), F.lit(lang)).otherwise(best)
         best_n = F.greatest(n, best_n)
     out = out.withColumn("lang_pred", best)
-    return out.drop(*[f"_hits_{lang}" for lang in _STOP_MARKERS])
+    return out.drop("_words", *[f"_hits_{lang}" for lang in _STOP_MARKERS])
 
 
 def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:

@@ -145,3 +145,14 @@ def test_css_select_no_persist_for_materialized_input(spark, tmp_path):
     out = css_select_df(nodes, "div > p")
     assert "InMemoryTableScan" not in plan(out)
     assert out.count() == 1
+
+
+def test_textstats_single_tokenization(spark):
+    """lang_id / quality_features bind the word array once: exactly one
+    split(...) in the optimized plan (regression: one re-tokenize per
+    language / per feature via HOF-lambda inlining)."""
+    from sparkhtml.spark.textstats import lang_id, quality_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert optimized(lang_id(docs)).count("split(") == 1
+    assert optimized(quality_features(docs)).count("split(") == 1

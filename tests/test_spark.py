@@ -145,8 +145,18 @@ def test_similarity(spark):
     approx = lsh_topk(emb, q, 5).collect()
     assert approx and approx[0].vec_id == 3
     dup = emb.filter("vec_id = 3").withColumn("vec_id", F.lit(999999))
-    pairs = cosine_near_dup_pairs(emb.unionByName(dup), 0.9999).collect()
+    pairs = cosine_near_dup_pairs(emb.unionByName(dup), 0.9999, dim=64).collect()
     assert any({r.a, r.b} == {3, 999999} for r in pairs)
+    # mega-cluster guard: a bucket wider than max_bucket is dropped, so a
+    # dense clone cluster cannot go quadratic
+    clones = emb.limit(1).crossJoin(spark.range(40)).select(
+        (F.col("vec_id") + 5000 + F.col("id")).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    capped = cosine_near_dup_pairs(
+        emb.unionByName(clones), 0.9999, dim=64, max_bucket=10
+    ).collect()
+    assert not any(r.a >= 5000 and r.b >= 5000 for r in capped)
 
 
 def test_ivf_index(spark):
@@ -163,9 +173,26 @@ def test_ivf_index(spark):
     approx = [r.vec_id for r in idx.topk(emb, q, 10, n_probe=2).collect()]
     assert approx[0] == 7
     assert len(set(exact) & set(approx)) >= 5
-    # every vector gets a cluster in [0, k)
-    cl = idx.assign(emb).select("ivf_cluster").distinct().collect()
-    assert all(0 <= r.ivf_cluster < 4 for r in cl)
+
+
+def test_ivf_assignment_scales_to_many_centroids(spark):
+    """k=256 centroids must assign in one vectorized matmul pass (a
+    per-centroid Catalyst expression chain chokes long before this)."""
+    import numpy as np
+    from sparkhtml.spark.similarity import IVFIndex
+
+    rng = np.random.default_rng(7)
+    C = rng.normal(size=(256, 16))
+    rows = [
+        (int(i), (C[i % 256] + rng.normal(scale=1e-3, size=16)).tolist())
+        for i in range(1024)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    idx = IVFIndex(k=256)
+    idx.centroids = [c.tolist() for c in C]
+    got = idx.assign(df).select("vec_id", "ivf_cluster").collect()
+    assert len(got) == 1024
+    assert all(r.ivf_cluster == r.vec_id % 256 for r in got)
 
 
 def test_textstats(spark):
