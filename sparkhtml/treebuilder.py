@@ -2127,9 +2127,16 @@ class TreeBuilder:
         if tt == "Comment":
             self._insert_comment(token, self.document)
             return
-        if tt == "DOCTYPE" or (tt == "Character" and _is_ws(token[1])) or (
-            tt == "StartTag" and token[1] == "html"
-        ):
+        if tt == "Character":
+            # per-char rule: ws chars process via in-body, non-ws are
+            # errors and dropped — a mixed run keeps its ws (T12 split)
+            data = "".join(c for c in token[1] if c in _WS_SET)
+            if data:
+                self._mode_dispatch(("Character", data), "in-body")
+            if data != token[1]:
+                self.parse_error("unexpected-token-after-after-frameset")
+            return
+        if tt == "DOCTYPE" or (tt == "StartTag" and token[1] == "html"):
             self._mode_dispatch(token, "in-body")
             return
         if tt == "StartTag" and token[1] == "noframes":

@@ -201,3 +201,29 @@ def _matches_compound(dom, i, comp):
     from sparkhtml.selector import _match_compound
 
     return _match_compound(dom, comp)[i]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(
+    alphabet=string.ascii_letters + string.digits + "&#;xX abc<>\"'",
+    max_size=80,
+))
+def test_unescape_matches_stdlib(text):
+    """Differential: our from-scratch WHATWG reference resolver must agree
+    with Python's stdlib html.unescape (independent implementation of the
+    same spec) on arbitrary entity soup."""
+    import html as stdhtml
+
+    assert unescape_html(text) == stdhtml.unescape(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="<>/&;#abcdiv plsERT='\"!-0123456789", max_size=120))
+def test_tag_soup_parse_serialize_converges(html):
+    """Arbitrary tag soup: parse∘serialize converges by the second round
+    and never crashes (differential-fuzz posture the reference gets from
+    running the full html5lib corpus)."""
+    out1 = serialize(parse(html).document)
+    out2 = serialize(parse(out1).document)
+    out3 = serialize(parse(out2).document)
+    assert out2 == out3
