@@ -497,11 +497,15 @@ class TreeBuilder:
                 return False
         return False
 
-    def _pop_until(self, *tags: str) -> Node:
-        while True:
+    def _pop_until(self, *tags: str) -> Optional[Node]:
+        # defensive empty check: the depth guard can drop a just-inserted
+        # element from the stack (e.g. the </p>-with-no-p recovery inside a
+        # depth bomb), so the target may legitimately be absent
+        while self.open_elements:
             node = self.open_elements.pop()
             if node.ns == NS_HTML and node.tag in tags:
                 return node
+        return None
 
     def _generate_implied_end_tags(self, except_tag: Optional[str] = None,
                                    thorough: bool = False) -> None:
@@ -1477,7 +1481,9 @@ class TreeBuilder:
         if tag == "p":
             if not self._in_scope("p", SCOPE_BUTTON):
                 self.parse_error("unexpected-end-p")
-                self._insert_element_named("p")
+                el = self._insert_element_named("p")
+                if not self.open_elements or self.open_elements[-1] is not el:
+                    return  # depth guard dropped the recovery <p>
             self._close_p()
             return
         if tag == "li":

@@ -292,3 +292,14 @@ def test_whatwg_label_table_complete():
     assert text == "abc" and codec == "x-user-defined"
     text, codec, _ = decode_html_bytes(b"anything", "text/html; charset=hz-gb-2312")
     assert text == "�" and codec == "replacement"
+
+
+def test_depth_bomb_with_stray_end_p_does_not_crash():
+    """Regression: inside a depth bomb the depth guard drops the recovery
+    <p> that a stray </p> inserts; _pop_until then drained the stack and
+    crashed (IndexError). Found by profiling the synthetic corpus."""
+    html = "<div>" * 2000 + "</p>text after"
+    # must not raise, on either the fragment or full-document path
+    extract_main_text(html + "</div>" * 5)
+    dom = FlatDOM.from_html(html)
+    assert len(dom) > 0
