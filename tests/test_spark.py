@@ -294,3 +294,44 @@ def test_selector_plan_parity_postop_pseudos(spark):
         exp = len(py_select(dom, sel)) * 3
         assert got == exp, f"{sel}: {got} != {exp}"
     nodes.unpersist()
+
+
+def test_checkpoint_iceberg_sink_path(spark, docs_df, tmp_path, monkeypatch):
+    """Exercise the Iceberg sink plumbing without jars: mock writeTo to a
+    recorder that materializes to parquet with the same chunk-partition
+    layout, and verify per-chunk overwritePartitions calls + resume."""
+    from sparkhtml.spark.checkpoint import ChunkedRun
+    from sparkhtml.spark.pipeline import extract_spans_df
+
+    out = str(tmp_path / "ice")
+    calls = []
+
+    class _FakeWriter:
+        def __init__(self, df, table):
+            self.df, self.table = df, table
+
+        def overwritePartitions(self):
+            chunk = self.df.select("chunk").first()[0]
+            calls.append((self.table, chunk))
+            self.df.write.mode("overwrite").parquet(f"{out}/t/chunk={chunk}")
+
+    # patch the CONCRETE DataFrame class (Spark 4 splits classic/connect;
+    # pyspark.sql.DataFrame is the abstract facade)
+    monkeypatch.setattr(
+        type(docs_df), "writeTo", lambda df, t: _FakeWriter(df, t)
+    )
+    monkeypatch.setattr(
+        type(spark), "table",
+        lambda self, t: self.read.parquet(f"{out}/t/chunk=*"),
+        raising=True,
+    )
+    run = ChunkedRun(spark, out, n_chunks=2, iceberg_table="cat.db.docs")
+    summary = run.run(docs_df, extract_spans_df)
+    assert summary["processed"] == 2
+    assert [c for _, c in calls] == [0, 1]
+    assert all(t == "cat.db.docs" for t, _ in calls)
+    # resume: both chunks recorded → second run writes nothing
+    run2 = ChunkedRun(spark, out, n_chunks=2, iceberg_table="cat.db.docs")
+    s2 = run2.run(docs_df, extract_spans_df)
+    assert s2 == {"resumed": 2, "processed": 0, "rows": 0}
+    assert len(calls) == 2
