@@ -199,6 +199,48 @@ def _q_css_sibling_plan(spark, sf_dir):
                     F.lower("tag").alias("tag"))
 
 
+def _q_css_pseudo_plan(spark, sf_dir):
+    """DataFrame plans for the post-op pseudos (round 2: :checked, :link,
+    :empty, :enabled/:disabled with fieldset propagation + first-legend
+    carve-out) over a known built structure — per-doc match counts have an
+    exact constant oracle."""
+    from sparkhtml.spark.pipeline import parse_nodes_df
+    from sparkhtml.spark.queries import css_select_df
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            "<form><input type=checkbox checked><input disabled>"
+            "<fieldset disabled><legend><input id=l></legend>"
+            "<input id=f></fieldset>"
+            "<fieldset><input id=ok></fieldset></form>"
+            "<p></p><p>"
+        ),
+        F.col("text"),
+        F.lit('</p><a href="/x">l</a><a name=n>n</a>'),
+    )
+    nodes = parse_nodes_df(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    html.alias("html"))
+    )
+    out = None
+    for name, sel in [("n_checked", ":checked"),
+                      ("n_disabled", "input:disabled"),
+                      ("n_enabled", "input:enabled"),
+                      ("n_empty", "p:empty"),
+                      ("n_link", "a:link")]:
+        c = (
+            css_select_df(nodes, sel)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+        out = c if out is None else out.join(c, "doc_id")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_checked", "n_disabled", "n_enabled", "n_empty", "n_link",
+    )
+
+
 def _q_exact_dup_groups(spark, sf_dir):
     """Exact dedup over a corpus with injected duplicates (doc_id%10==0
     duplicated at id+1000000)."""
@@ -465,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nodes_tag_counts": _q_tag_counts,
         "css_child_plan": _q_css_child_plan,
         "css_sibling_plan": _q_css_sibling_plan,
+        "css_pseudo_plan": _q_css_pseudo_plan,
         "exact_dup_groups": _q_exact_dup_groups,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -525,6 +568,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 1::BIGINT AS n_matches FROM documents"
         ),
         "css_sibling_plan": "SELECT doc_id, 'a' AS tag FROM documents",
+        "css_pseudo_plan": (
+            "SELECT doc_id, 1::BIGINT AS n_checked, 2::BIGINT AS n_disabled, "
+            "3::BIGINT AS n_enabled, 1::BIGINT AS n_empty, "
+            "1::BIGINT AS n_link FROM documents"
+        ),
         "exact_dup_groups": (
             "SELECT doc_id AS keep_id, 2::BIGINT AS n_dups FROM documents "
             "WHERE doc_id % 10 = 0"
