@@ -136,6 +136,62 @@ TREE_CASES: list[tuple[str, str | None]] = [
     ("<!DOCTYPE html SYSTEM \"about:legacy-compat\"><p><table><div></div></table></p>", None),
     ("<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML 1.0 Transitional//EN\"><table><p>x", None),
     ("<!doctype html><body><p>ok", None),
+    # ---- round-2 batch 2: comments/doctype/after-body/formatting-in-tables
+    ("<table><!--c--><tr><td>x</table>", None),
+    ("<table><tr><!--r--><td>x</td></tr></table>", None),
+    ("<table><colgroup><!--g--><col></colgroup><tr><td>y</table>", None),
+    ("<body>x</body><!--after body-->tail", None),
+    ("<html><head><!--h--></head><!--between--><body>b</body></html><!--end-->", None),
+    ("</body><!--c1--></html><!--c2-->", None),
+    ("<!DOCTYPE html><!-- c --><p>x", None),
+    ("<b>1<table><tr><td>2</td></tr></table>3</b>4", None),
+    ("<i><table><tr><td><b>c</b></td></tr></table></i>after", None),
+    ("<b><center>1</b>2</center>", None),
+    ("<table><tr><td><b>x</table><p>y", None),
+    ("<u>a<div>b<div>c</u>d", None),
+    ("<s><strike>x</s>y</strike>z", None),
+    ("<small><big>t</small>u</big>v", None),
+    ("<tt><code>m</tt>n</code>o", None),
+    # doctype quirks matrix (classification via <table><p> nesting probe)
+    ("<!DOCTYPE html PUBLIC \"-//IETF//DTD HTML//EN\"><p><table><div>q", None),
+    ("<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.0 Transitional//EN\"><p><table><div>q", None),
+    ("<!DOCTYPE html SYSTEM \"http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd\"><p><table><div>q", None),
+    ("<!DOCTYPE foo><p><table><div>q", None),
+    ("<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML 1.0 Frameset//EN\"><p><table><div>q", None),
+    # rcdata/rawtext inside select/table interplay
+    ("<table><tr><td><select><script>raw?</script>x</select></td></tr></table>", None),
+    ("<select><style>css</style>opt</select>", None),
+    # body/html end handling with open elements
+    ("<p>open</body><p>ignored-mode?", None),
+    ("<div></html>text", None),
+    # input type=hidden frameset-ok nuance inside table
+    ("<table><input type=HIDDEN name=h><tr><td>x</table>", None),
+    ("<table><input type=text name=t><tr><td>x</table>", None),
+    # label/option/optgroup in body
+    ("<option>a<option>b<optgroup>c<option>d", None),
+    ("<output>o<p>p</output>q", None),
+    # space-only document / doctype-only
+    ("   ", None),
+    ("<!DOCTYPE html>   ", None),
+    # nobr AA interplay
+    ("<nobr>x<b><nobr>y</b>z", None),
+    # definition list chains
+    ("<dl><dt><b>t<dd>d</dl>x", None),
+    # a inside button inside a
+    ("<a href=1><button><a href=2>x</button>", None),
+    # table inside caption inside table
+    ("<table><caption><table><tr><td>inner</table>out</caption></table>", None),
+    # th/td transitions and tr-implied closes
+    ("<table><tr><th>h<td>d<tr><td>e</table>", None),
+    # void elements with end tags
+    ("<img src=x></img><br></br><input></input>y", None),
+    # svg/math doctype-less in table cell fragment
+    ("<svg><g/></svg><math><mi>m</mi></math>", "td"),
+    ("<style>s</style><p>x", "head"),
+    ("<frame>", "frameset"),
+    ("<li>a<li>b", "ul"),
+    ("text<table><td>c", "caption"),
+    ("<col span=2>", "colgroup"),
     # ---- fragments
     ("<tr><td>a</td></tr>", "tbody"),
     ("<td>a", "tr"),
