@@ -430,10 +430,25 @@ def _complex_df(nodes: DataFrame, cx: Complex) -> DataFrame:
         elif comb in ("+", "~"):
             # sibling logic needs the full sibling set: recompute as a
             # window over all nodes, flagging left-matches
-            lcol = _compound_col(cx.compounds[k], nodes)
             w = Window.partitionBy("doc_id", "parent").orderBy("node_id")
             is_el = F.col("kind") == ELEMENT
-            flagged = nodes.withColumn("_lm", F.when(lcol, 1).otherwise(0))
+            if all(_simple_is_columnar(s) for s in cx.compounds[k].simples):
+                lcol = _compound_col(cx.compounds[k], nodes)
+                flagged = nodes.withColumn("_lm", F.when(lcol, 1).otherwise(0))
+            else:
+                # post-op left compound (:empty / :enabled / …): flag
+                # membership via a join against its match set instead
+                lm = _compound_df(nodes, cx.compounds[k]).select(
+                    F.col("doc_id").alias("m_doc"),
+                    F.col("node_id").alias("m_id"),
+                    F.lit(1).alias("_lm"),
+                )
+                flagged = nodes.join(
+                    lm,
+                    (nodes["doc_id"] == lm["m_doc"])
+                    & (nodes["node_id"] == lm["m_id"]),
+                    "left",
+                ).drop("m_doc", "m_id").fillna(0, ["_lm"])
             if comb == "+":
                 # nearest preceding ELEMENT sibling is a left-match:
                 # carry (last element's match flag) via last() over

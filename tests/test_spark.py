@@ -335,3 +335,23 @@ def test_checkpoint_iceberg_sink_path(spark, docs_df, tmp_path, monkeypatch):
     s2 = run2.run(docs_df, extract_spans_df)
     assert s2 == {"resumed": 2, "processed": 0, "rows": 0}
     assert len(calls) == 2
+
+
+def test_selector_plan_postop_left_of_sibling(spark):
+    """Post-op compounds on the LEFT of +/~ compile via a match-set join
+    (previously UDF-fallback only)."""
+    html = (
+        "<div><p></p><span>s1</span><p>full</p><span>s2</span>"
+        "<input disabled><b>b1</b><input><b>b2</b></div>"
+    )
+    df = spark.createDataFrame(
+        [(str(i), html) for i in range(3)], ["doc_id", "html"]
+    )
+    nodes = parse_nodes_df(df).cache()
+    dom = FlatDOM.from_html(html)
+    for sel in ["p:empty + span", "p:empty ~ span", ":disabled + b",
+                ":enabled + b", "p:not(:empty) + span"]:
+        got = css_select_df(nodes, sel).count()
+        exp = len(py_select(dom, sel)) * 3
+        assert got == exp, f"{sel}: {got} != {exp}"
+    nodes.unpersist()
