@@ -395,6 +395,28 @@ def _q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def _q_stream_extract(spark, sf_dir):
+    """Structured Streaming extraction (AvailableNow drain) must equal the
+    batch result exactly — so the BATCH oracle (extract_text's SQL) checks
+    the streaming path end-to-end: file source → mapInPandas → parquet sink
+    with streaming checkpoint."""
+    import tempfile
+
+    from sparkhtml.spark.streaming import stream_extract
+
+    work = tempfile.mkdtemp(prefix="sparkhtml_stream_")
+    in_dir = f"{work}/in"
+    _interleaved(spark, sf_dir).write.mode("overwrite").parquet(in_dir)
+    q = stream_extract(spark, in_dir, f"{work}/out", f"{work}/ckpt")
+    q.awaitTermination()
+    out = spark.read.parquet(f"{work}/out")
+    ex = out.select("doc_id", F.explode("spans").alias("s"))
+    return ex.filter(F.col("s.kind") == "text").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("s.text").alias("extracted"),
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal feature extraction over a documents-derived media table:
     the feature VALUES are the permanent deterministic-fake contract
@@ -522,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
+        "stream_extract": _q_stream_extract,
         "events_lag": _q_events_lag,
         "events_nth": _q_events_nth,
         "pricing_summary": _q_pricing_summary,
@@ -540,6 +563,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "extract_text": (
+            "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
+            "AS extracted FROM documents"
+        ),
+        "stream_extract": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
             "AS extracted FROM documents"
         ),
