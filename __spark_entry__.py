@@ -451,6 +451,29 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_top_trigrams(spark, sf_dir):
+    """Corpus-level n-gram frequency (explode → partial-agg count → top-k):
+    the canonical distributed text-stats aggregation, reusing the dedup
+    layer's bound shingle expression."""
+    from sparkhtml.spark.dedup import normalized_text, shingles_col
+
+    docs = _docs(spark, sf_dir)
+    n_words = F.size(
+        F.filter(F.split(normalized_text("text"), " "),
+                 lambda w: F.length(w) > 0)
+    )
+    grams = (
+        docs.filter(n_words >= 3)
+        .select(F.explode(shingles_col("text", 3)).alias("trigram"))
+    )
+    return (
+        grams.groupBy("trigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(20)
+    )
+
+
 def _q_events_lag(spark, sf_dir):
     """Adjacent-sibling window shape (Q8) on the events stream table."""
     from pyspark.sql import Window
@@ -545,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
         "stream_extract": _q_stream_extract,
+        "top_trigrams": _q_top_trigrams,
         "events_lag": _q_events_lag,
         "events_nth": _q_events_nth,
         "pricing_summary": _q_pricing_summary,
@@ -569,6 +593,16 @@ def oracle_sql() -> dict[str, str]:
         "stream_extract": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
             "AS extracted FROM documents"
+        ),
+        "top_trigrams": (
+            "WITH words AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "w -> length(w) > 0) AS ws FROM documents) "
+            "SELECT g AS trigram, count(*)::BIGINT AS n FROM ("
+            "SELECT unnest(list_transform(range(1, len(ws) - 1), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g "
+            "FROM words WHERE len(ws) >= 3) "
+            "GROUP BY g ORDER BY n DESC, g LIMIT 20"
         ),
         "extract_metrics": (
             "SELECT doc_id, 2::BIGINT AS n_spans_in, 1::BIGINT AS n_media, "
