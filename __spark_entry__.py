@@ -336,6 +336,29 @@ def _q_cosine_neardup(spark, sf_dir):
     ).select("a", "b")
 
 
+def _q_cosine_pairs_exact(spark, sf_dir):
+    """Exact near-dup pair verification math (the step LSH candidates feed
+    into) against DuckDB's independent list_cosine_similarity — brute-force
+    on a filtered slice so the oracle is O(k²), not O(n²)."""
+    from sparkhtml.spark.similarity import _norm_col, dot_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    cos = dot_col(F.col("va"), F.col("vb")) / (
+        F.greatest(_norm_col("va"), F.lit(1e-12))
+        * F.greatest(_norm_col("vb"), F.lit(1e-12))
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= 0.2)
+        .select("a", "b", "cosine")
+    )
+
+
 def _q_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
@@ -569,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "stream_extract": _q_stream_extract,
         "top_trigrams": _q_top_trigrams,
+        "cosine_pairs_exact": _q_cosine_pairs_exact,
         "events_lag": _q_events_lag,
         "events_nth": _q_events_nth,
         "pricing_summary": _q_pricing_summary,
@@ -593,6 +617,15 @@ def oracle_sql() -> dict[str, str]:
         "stream_extract": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
             "AS extracted FROM documents"
+        ),
+        "cosine_pairs_exact": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_cosine_similarity(a.embedding, b.embedding), 4) "
+            "AS cosine FROM embeddings a JOIN embeddings b "
+            "ON a.vec_id < b.vec_id "
+            "WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 "
+            "AND round(list_cosine_similarity(a.embedding, b.embedding), 4) "
+            ">= 0.2"
         ),
         "top_trigrams": (
             "WITH words AS (SELECT doc_id, "
