@@ -474,6 +474,22 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_size_buckets(spark, sf_dir):
+    """Skew layer: log2 size-bucket histogram of the interleaved corpus
+    (partitioning.with_size_salt's bucket column; the salt half is
+    xxhash64-based and covered by rows-only tests). The interleaved text
+    span wraps the document text in 57 chars of nav/p markup."""
+    from sparkhtml.spark.partitioning import with_size_salt
+
+    docs = _interleaved(spark, sf_dir)
+    return (
+        with_size_salt(docs)
+        .groupBy("size_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("size_bucket")
+    )
+
+
 def _q_top_trigrams(spark, sf_dir):
     """Corpus-level n-gram frequency (explode → partial-agg count → top-k):
     the canonical distributed text-stats aggregation, reusing the dedup
@@ -593,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_extract": _q_stream_extract,
         "top_trigrams": _q_top_trigrams,
         "cosine_pairs_exact": _q_cosine_pairs_exact,
+        "size_buckets": _q_size_buckets,
         "events_lag": _q_events_lag,
         "events_nth": _q_events_nth,
         "pricing_summary": _q_pricing_summary,
@@ -617,6 +634,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_extract": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
             "AS extracted FROM documents"
+        ),
+        "size_buckets": (
+            "SELECT floor(log2(greatest(length(text) + 57, 1) + 1))::INT "
+            "AS size_bucket, count(*)::BIGINT AS n_docs FROM documents "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "cosine_pairs_exact": (
             "SELECT a.vec_id AS a, b.vec_id AS b, "
