@@ -34,6 +34,8 @@ HTMLTokenizerTests.m:165-181).
 
 from __future__ import annotations
 
+from collections import deque
+
 import re
 from typing import Callable, Optional
 
@@ -63,6 +65,26 @@ _RE_ALPHA_RUN = re.compile(r"[a-zA-Z]+")
 # fast path: a complete attr-less lowercase tag (the overwhelmingly common
 # case in real HTML) matched in one step from tag-open / end-tag-open
 _RE_SIMPLE_TAG = re.compile(r"([a-z][a-z0-9]*)>")
+
+# Optimistic fast path for tags WITH attributes: matches only shapes whose
+# state-machine run is error-free and needs no lowercasing/charref work —
+# anything else (uppercase, charrefs in values, NULs, '<' in unquoted,
+# duplicate attrs, '/' after an unquoted value, missing inter-attr space)
+# fails the match and falls back to the per-state machine. Possessive
+# quantifiers (3.11+) keep failure linear — no backtracking blowup.
+_RE_FAST_TAG = re.compile(
+    r'([a-z][a-z0-9]*+)'
+    r'((?:[\t\n\x0c ]++[a-z][a-z0-9_.:-]*+'
+    r'(?:=(?:"[^"&\x00]*+"|\x27[^\x27&\x00]*+\x27'
+    r'|[^\t\n\x0c "\x27=<>&`\x00/]++))?+)*+)'
+    r'([\t\n\x0c ]*+)(/?)>'
+)
+_RE_FAST_ATTR = re.compile(
+    r'[\t\n\x0c ]++([a-z][a-z0-9_.:-]*+)'
+    r'(?:=(?:"([^"]*+)"|\x27([^\x27]*+)\x27|([^\t\n\x0c >]++)))?'
+)
+# unquoted value at the very end of the attr run: '/' would belong to it
+_RE_UNQUOTED_TAIL = re.compile(r'=[^\s"\x27]*+$')
 
 _STOP_DATA = re.compile(r"[<&\x00]")
 _STOP_RAW = re.compile(r"[<\x00]")
@@ -104,7 +126,7 @@ class Tokenizer:
         self.last_start_tag = last_start_tag
         self.cdata_allowed = cdata_allowed
         self.errors: list[str] = [] if collect_errors else _NullList()
-        self._queue: list[tuple] = []
+        self._queue: deque[tuple] = deque()
         self._eof_emitted = False
         # current tag under construction
         self._tag_name = ""
@@ -130,7 +152,7 @@ class Tokenizer:
             if self._eof_emitted:
                 return None
             _STATES[self.state](self)
-        return q.pop(0)
+        return q.popleft()
 
     def tokens(self):
         while True:
@@ -315,6 +337,9 @@ class Tokenizer:
                 self.i = m.end()
                 self.state = DATA
                 return
+            tok = self._try_fast_tag(s, i)
+            if tok is not None:
+                return
             self._new_tag(False)
             self.state = "tag-name"
         elif c == "?":
@@ -325,6 +350,36 @@ class Tokenizer:
             self.errors.append("invalid-first-character-of-tag-name")
             self._emit_char("<")
             self.state = DATA
+
+    def _try_fast_tag(self, s: str, i: int):
+        """One-regex start tag with simple attributes; None → slow path."""
+        m = _RE_FAST_TAG.match(s, i)
+        if m is None:
+            return None
+        attrs_s = m.group(2)
+        if m.group(4) and not m.group(3) and _RE_UNQUOTED_TAIL.search(attrs_s):
+            # '/' directly after an unquoted value belongs to the value
+            return None
+        attrs: list[tuple[str, str]] = []
+        if attrs_s:
+            seen = set()
+            for am in _RE_FAST_ATTR.finditer(attrs_s):
+                name = am.group(1)
+                if name in seen:
+                    return None  # dup-attr drops + errors: slow path
+                seen.add(name)
+                v = am.group(2)
+                if v is None:
+                    v = am.group(3)
+                if v is None:
+                    v = am.group(4)
+                attrs.append((name, v if v is not None else ""))
+        name = m.group(1)
+        self.last_start_tag = name
+        self._queue.append(("StartTag", name, attrs, bool(m.group(4))))
+        self.i = m.end()
+        self.state = DATA
+        return True
 
     def _end_tag_open(self) -> None:
         s, i, n = self.s, self.i, self.n

@@ -403,7 +403,7 @@ class TreeBuilder:
                 if tk._eof_emitted:
                     return self.document
                 states[tk.state](tk)
-            process(queue.pop(0))
+            process(queue.popleft())
         if self.fragment_context is not None:
             # unwrap synthetic root (HTMLParser.m:142-147)
             pass
@@ -415,6 +415,17 @@ class TreeBuilder:
     # ------------------------------------------------- token dispatch
 
     def process_token(self, token: tuple) -> None:
+        # fast path: HTML current node, no pending-LF skip, not a fragment —
+        # the overwhelmingly common case goes straight to mode dispatch
+        oe = self.open_elements
+        if (
+            not self.ignore_next_lf
+            and self.fragment_context is None
+            and oe
+            and oe[-1].ns == NS_HTML
+        ):
+            _MODES[self.mode](self, token)
+            return
         tt = token[0]
         if self.ignore_next_lf:
             self.ignore_next_lf = False
@@ -423,8 +434,8 @@ class TreeBuilder:
                 if not data:
                     return
                 token = ("Character", data)
+                tt = "Character"
         # foreign-content dispatch (HTMLParser.m:2471-2534)
-        oe = self.open_elements
         acn = oe[-1] if oe else None
         if self.fragment_context is not None and len(oe) == 1:
             acn = self.context_node
@@ -473,7 +484,22 @@ class TreeBuilder:
 
     def _in_scope(self, target, scope=SCOPE_DEFAULT) -> bool:
         """Scope queries (HTMLParser.m:2876-2993)."""
-        names = (target,) if isinstance(target, str) else tuple(target)
+        if isinstance(target, str):
+            # single-name fast path: equality beats tuple membership
+            for node in reversed(self.open_elements):
+                if node.ns == NS_HTML:
+                    if node.tag == target:
+                        return True
+                    if node.tag in scope:
+                        return False
+                elif node.ns == NS_MATHML:
+                    if (node.tag in MATHML_TEXT_INTEGRATION
+                            or node.tag == "annotation-xml"):
+                        return False
+                elif node.tag in HTML_INTEGRATION_SVG:
+                    return False
+            return False
+        names = tuple(target)
         for node in reversed(self.open_elements):
             if node.ns == NS_HTML and node.tag in names:
                 return True
@@ -583,19 +609,28 @@ class TreeBuilder:
             return  # text never attaches directly to the document
         node = Node(TEXT, text=data)
         if idx is None:
-            parent.append(node)
+            node.parent = parent  # inlined append (fresh node)
+            parent.children.append(node)
         else:
             parent.insert(idx, node)
 
     def _create_element(self, token: tuple, ns: int = NS_HTML) -> Node:
-        name, attrs = token[1], list(token[2])
-        return Node(ELEMENT, name, ns, attrs)
+        # tokens are one-shot (the tokenizer builds a fresh attr list per
+        # tag), so the element can own the list without copying
+        return Node(ELEMENT, token[1], ns, token[2])
 
     def _insert_element(self, token: tuple, ns: int = NS_HTML) -> Node:
         el = self._create_element(token, ns)
-        if len(self.open_elements) < self.max_depth:
-            self._insert_node(el)
-            self.open_elements.append(el)
+        stack = self.open_elements
+        if len(stack) < self.max_depth:
+            if not self.foster_parenting:
+                # inlined Node.append fast path (fresh node, no reparent)
+                parent = stack[-1]
+                el.parent = parent
+                parent.children.append(el)
+            else:
+                self._insert_node(el)
+            stack.append(el)
         else:
             # Depth-bomb guard (SURVEY.md §7.3.5): beyond max_depth the
             # element is dropped from BOTH the tree and the open stack —
@@ -1128,7 +1163,12 @@ class TreeBuilder:
     # ---------------------------------------------------- in body
 
     def _mode_in_body(self, token: tuple) -> None:
+        # branch order follows token frequency in real HTML:
+        # start tags ≥ characters > end tags ≫ comments/doctype/EOF
         tt = token[0]
+        if tt == "StartTag":
+            self._in_body_start_tag(token)
+            return
         if tt == "Character":
             data = token[1]
             if "\0" in data:
@@ -1141,17 +1181,14 @@ class TreeBuilder:
             if not _is_ws(data):
                 self.frameset_ok = False
             return
+        if tt == "EndTag":
+            self._in_body_end_tag(token)
+            return
         if tt == "Comment":
             self._insert_comment(token)
             return
         if tt == "DOCTYPE":
             self.parse_error("unexpected-doctype")
-            return
-        if tt == "StartTag":
-            self._in_body_start_tag(token)
-            return
-        if tt == "EndTag":
-            self._in_body_end_tag(token)
             return
         if tt == "EOF":
             self.done = True

@@ -227,3 +227,37 @@ def test_tag_soup_parse_serialize_converges(html):
     out2 = serialize(parse(out1).document)
     out3 = serialize(parse(out2).document)
     assert out2 == out3
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(st.tuples(
+    st.sampled_from(["a", "div", "p", "input", "x1", "data-x", "DIV"]),
+    st.sampled_from(["", "v", "a b", "a&amp;b", "x'y", 'x"y', "1/2", "<t>",
+                     "\tv\n", "`q`", "="]),
+    st.sampled_from(['="{}"', "='{}'", "={}", "", " ", "/"]),
+), max_size=4), st.sampled_from(["", " ", "/", " /"]))
+def test_fast_tag_path_matches_state_machine(attrs, tail):
+    """Differential: the optimistic one-regex tag path must produce the
+    exact token stream (incl. error counts) of the per-state machine."""
+    import sparkhtml.tokenizer as tz
+
+    parts = []
+    for name, val, shape in attrs:
+        if shape in ("", " ", "/"):
+            parts.append(f" {name}{shape}")
+        else:
+            parts.append(" " + name + shape.format(val))
+    html = "<div" + "".join(parts) + tail + ">text<span>"
+
+    def toks(disabled):
+        orig = tz.Tokenizer._try_fast_tag
+        if disabled:
+            tz.Tokenizer._try_fast_tag = lambda self, s, i: None
+        try:
+            t = tz.Tokenizer(html)
+            out = list(t.tokens())
+            return out, len(t.errors)
+        finally:
+            tz.Tokenizer._try_fast_tag = orig
+
+    assert toks(False) == toks(True)
