@@ -539,6 +539,55 @@ def _q_events_nth(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap): the classic stateful
+    event-stream op as pure window arithmetic — lag → gap flag → running
+    sum per user."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: go through timestamp for epoch seconds
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev_ts = F.lag(epoch).over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (epoch - prev_ts > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("_new", new_session)
+        .withColumn("session_idx", F.sum("_new").over(w).cast("bigint"))
+        .select("event_id", "user_id", "session_idx")
+    )
+
+
+def _q_filter_pipeline(spark, sf_dir):
+    """End-to-end training-data filter: quality gates + exact-dup loser
+    drop, with per-document keep/drop reasons — the composition a real
+    pipeline runs before extraction, fully SQL-oracled."""
+    from pyspark.sql import Window
+
+    from sparkhtml.spark.dedup import normalized_text
+    from sparkhtml.spark.textstats import quality_features
+
+    docs = quality_features(_docs(spark, sf_dir))
+    h = F.md5(normalized_text("text"))
+    keep_id = F.min("doc_id").over(Window.partitionBy(h))
+    out = docs.withColumn("_keep_id", keep_id)
+    quality_ok = (
+        (F.col("n_words") >= 5)
+        & (F.col("stopword_ratio") > 0.01)
+        & (F.col("punct_ratio") < 0.2)
+    )
+    return out.select(
+        "doc_id",
+        quality_ok.cast("int").cast("bigint").alias("quality_ok"),
+        (F.col("doc_id") == F.col("_keep_id")).cast("int").cast("bigint")
+        .alias("dedup_keep"),
+        (quality_ok & (F.col("doc_id") == F.col("_keep_id")))
+        .cast("int").cast("bigint").alias("keep"),
+    )
+
+
 def _q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shape aggregate (map-side partial agg demo)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -610,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_trigrams": _q_top_trigrams,
         "cosine_pairs_exact": _q_cosine_pairs_exact,
         "size_buckets": _q_size_buckets,
+        "sessionize": _q_sessionize,
+        "filter_pipeline": _q_filter_pipeline,
         "events_lag": _q_events_lag,
         "events_nth": _q_events_nth,
         "pricing_summary": _q_pricing_summary,
@@ -634,6 +685,35 @@ def oracle_sql() -> dict[str, str]:
         "stream_extract": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
             "AS extracted FROM documents"
+        ),
+        "sessionize": (
+            "SELECT event_id, user_id, CAST(SUM(new_s) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS session_idx FROM (SELECT event_id, user_id, ts, "
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)) > 1800 "
+            "THEN 1 ELSE 0 END AS new_s FROM events)"
+        ),
+        "filter_pipeline": (
+            "WITH q AS (SELECT doc_id, text, "
+            "length(list_filter(string_split_regex(text, '\\s+'), "
+            "w -> length(w) > 0)) AS n_words, "
+            "length(list_filter(string_split_regex(lower(text), '\\s+'), "
+            "w -> w IN ('the','and','of'))) * 1.0 / "
+            "greatest(length(list_filter(string_split_regex(text, '\\s+'), "
+            "w -> length(w) > 0)), 1) AS stop_r, "
+            "(length(text) - length(regexp_replace(text, "
+            "'[^a-zA-Z0-9_\\s]', '', 'g'))) * 1.0 / "
+            "greatest(length(text), 1) AS punct_r, "
+            "min(doc_id) OVER (PARTITION BY "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) "
+            "AS keep_id FROM documents) "
+            "SELECT doc_id, "
+            "(n_words >= 5 AND stop_r > 0.01 AND punct_r < 0.2)::INT::BIGINT "
+            "AS quality_ok, (doc_id = keep_id)::INT::BIGINT AS dedup_keep, "
+            "(n_words >= 5 AND stop_r > 0.01 AND punct_r < 0.2 "
+            "AND doc_id = keep_id)::INT::BIGINT AS keep FROM q"
         ),
         "size_buckets": (
             "SELECT floor(log2(greatest(length(text) + 57, 1) + 1))::INT "
