@@ -192,6 +192,21 @@ TREE_CASES: list[tuple[str, str | None]] = [
     ("<li>a<li>b", "ul"),
     ("text<table><td>c", "caption"),
     ("<col span=2>", "colgroup"),
+    # ---- round-2 batch 3: integration-point & frameset-ok exotica
+    ("<math><annotation-xml encoding=\"TEXT/HTML\"><div>d</div></annotation-xml></math>", None),
+    ("<math><annotation-xml encoding=\"Application/XHTML+XML\"><div>d</div></annotation-xml></math>", None),
+    ("<svg><G><Circle/></G></svg>", None),
+    ("<math><mtext><svg><desc><b>x</b></desc></svg></mtext></math>", None),
+    ("<select><svg><circle/></svg><option>o</select>", None),
+    ("<table><tr><td><svg><desc><td>breaks out", None),
+    ("<svg><foreignobject><select><option>o</select></foreignobject></svg>", None),
+    ("<math><annotation-xml><svg><g>s</g></svg></annotation-xml></math>", None),
+    ("<b><frameset><frame>", None),
+    ("<span><frameset>", None),
+    ("<wbr><frameset>", None),
+    ("<svg><mtext>not math</mtext></svg>", None),
+    ("<math><svg>not direct</svg></math>", None),
+    ("<svg>a<![CDATA[b]]>c<!--d--></svg>", None),
     # ---- fragments
     ("<tr><td>a</td></tr>", "tbody"),
     ("<td>a", "tr"),

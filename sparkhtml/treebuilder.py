@@ -483,7 +483,14 @@ class TreeBuilder:
     # ------------------------------------------------- stack helpers
 
     def _in_scope(self, target, scope=SCOPE_DEFAULT) -> bool:
-        """Scope queries (HTMLParser.m:2876-2993)."""
+        """Scope queries (HTMLParser.m:2876-2993).
+
+        Foreign integration-point barriers belong to the BASE scope list
+        (default/list-item/button variants); TABLE scope replaces the list
+        with html/table/template only — a td inside an SVG desc is still
+        in table scope, so a new <td> closes the cell through the foreign
+        subtree (WHATWG §13.2.4.2)."""
+        foreign_barriers = scope is not SCOPE_TABLE
         if isinstance(target, str):
             # single-name fast path: equality beats tuple membership
             for node in reversed(self.open_elements):
@@ -492,6 +499,8 @@ class TreeBuilder:
                         return True
                     if node.tag in scope:
                         return False
+                elif not foreign_barriers:
+                    continue
                 elif node.ns == NS_MATHML:
                     if (node.tag in MATHML_TEXT_INTEGRATION
                             or node.tag == "annotation-xml"):
@@ -506,6 +515,8 @@ class TreeBuilder:
             if node.ns == NS_HTML:
                 if node.tag in scope:
                     return False
+            elif not foreign_barriers:
+                continue
             elif node.ns == NS_MATHML:
                 if node.tag in MATHML_TEXT_INTEGRATION or node.tag == "annotation-xml":
                     return False
