@@ -137,6 +137,7 @@ def _decode_special(data: bytes, codec: str) -> Optional[str]:
 _CHARSET_IN_CONTENT_TYPE = re.compile(
     rb"""charset\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s;"']*))""", re.IGNORECASE
 )
+_COMMENT_BYTES = re.compile(rb"<!--.*?-->", re.S)
 _META_CHARSET = re.compile(
     rb"""<meta[^>]+?(?:charset\s*=\s*["']?\s*([a-zA-Z0-9_\-:.]+)"""
     rb"""|content\s*=\s*["'][^"']*charset=([a-zA-Z0-9_\-:.]+))""",
@@ -168,7 +169,14 @@ def sniff_encoding(
             codec = encoding_for_label(label)
             if codec:
                 return codec, CERTAIN
-    m = _META_CHARSET.search(data[:1024])
+    head = data[:1024]
+    # WHATWG prescan skips comments: a commented-out <meta charset> must
+    # not win; an unterminated <!-- swallows the rest of the window
+    head = _COMMENT_BYTES.sub(b"", head)
+    bang = head.find(b"<!--")
+    if bang != -1:
+        head = head[:bang]
+    m = _META_CHARSET.search(head)
     if m:
         label = (m.group(1) or m.group(2)).decode("ascii", "ignore")
         codec = encoding_for_label(label)

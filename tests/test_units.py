@@ -303,3 +303,17 @@ def test_depth_bomb_with_stray_end_p_does_not_crash():
     extract_main_text(html + "</div>" * 5)
     dom = FlatDOM.from_html(html)
     assert len(dom) > 0
+
+
+def test_prescan_skips_commented_meta():
+    """WHATWG prescan ignores <meta charset> inside comments (regression:
+    a commented-out utf-16 meta won the sniff)."""
+    assert sniff_encoding(
+        b'<!-- <meta charset=utf-16> --><meta charset=ibm866>'
+    ) == ("ibm866", TENTATIVE)
+    # unterminated comment swallows the rest of the prescan window
+    assert sniff_encoding(b'<!-- <meta charset=gbk>')[0] == "cp1252"
+    # unknown (non-WHATWG) label falls through to the default
+    assert sniff_encoding(b'<meta charset=cp874>')[0] == "cp1252"
+    # and the real label family works
+    assert sniff_encoding(b'<meta charset=windows-874>')[0] == "cp874"
