@@ -207,6 +207,21 @@ TREE_CASES: list[tuple[str, str | None]] = [
     ("<svg><mtext>not math</mtext></svg>", None),
     ("<math><svg>not direct</svg></math>", None),
     ("<svg>a<![CDATA[b]]>c<!--d--></svg>", None),
+    # ---- round-2 batch 4: caption ends, markers, form pointer, head-in-body
+    ("<table><caption><b>x</table>after", None),
+    ("<table><caption><i>c</caption><tr><td>d</table>e", None),
+    ("<object><b><p>inside</object>x", None),
+    ("<marquee><b>m</marquee>n", None),
+    ("<table><form><tr><td>a</table><form>b", None),
+    ("<body><head><meta></head>x", None),
+    ("<head></head><head>y", None),
+    ("<table><select><tr><td>c</table>", None),
+    ("<select><optgroup><option>a</optgroup>b</select>", None),
+    ("<optgroup><option>a</optgroup>b", None),
+    ("<menu><li>one<li>two</menu>", None),
+    ("<html><frameset><body>ignored</frameset>", None),
+    ("<frameset></frameset><body>late", None),
+    ("<table><td><button>x<td>y</table>", None),
     # ---- fragments
     ("<tr><td>a</td></tr>", "tbody"),
     ("<td>a", "tr"),

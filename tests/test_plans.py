@@ -156,3 +156,14 @@ def test_textstats_single_tokenization(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert optimized(lang_id(docs)).count("split(") == 1
     assert optimized(quality_features(docs)).count("split(") == 1
+
+
+def test_extraction_pipeline_has_no_shuffle(spark):
+    """The north-rule pipeline is embarrassingly parallel: scan → project →
+    one MapInPandas, ZERO exchanges — the property that makes it scan-local
+    at 1000 executors."""
+    import __spark_entry__ as entry
+    from sparkhtml.spark.pipeline import extract_spans_df
+
+    p = plan(extract_spans_df(entry._interleaved(spark, SF)))
+    assert "Exchange" not in p, p
