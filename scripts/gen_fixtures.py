@@ -327,6 +327,28 @@ TOK_CASES: list[tuple[str, str, dict]] = [
      {"initialStates": ["RAWTEXT state"], "lastStartTag": "style"}),
     ("plaintext never ends", "a</plaintext><b>c",
      {"initialStates": ["PLAINTEXT state"]}),
+    # round-2 batch 2: charref-in-attr matrix, escaped script dashes,
+    # end-tag edge shapes
+    ("charref in double-quoted attr", "<a t=\"&lt;&#x41;\">", {}),
+    ("charref in unquoted attr", "<a t=&amp;b>", {}),
+    ("legacy noSemi in attr then semi char", "<a t='&not;in'>", {}),
+    ("attr rule blocks legacy before alnum", "<a t='&notin'>", {}),
+    ("uppercase entity name", "&COPY;&copy;&CoPy;", {}),
+    ("entity at attr value end", "<a t='x&gt'>", {}),
+    ("script escaped single dash", "<!-- a - b --></script>",
+     {"initialStates": ["Script data state"], "lastStartTag": "script"}),
+    ("script double escaped dash run", "<!--<script>---</script>x",
+     {"initialStates": ["Script data state"], "lastStartTag": "script"}),
+    ("script escape ends at double dash gt", "<!-- --><script></script>",
+     {"initialStates": ["Script data state"], "lastStartTag": "script"}),
+    ("end tag self closing flag", "</div/>", {}),
+    ("end tag ws before gt", "</div >", {}),
+    ("tag name with digit start stays text", "<1div>", {}),
+    ("mixed case tag and attr", "<DiV CLaSS=x>", {}),
+    ("crlf inside rcdata", "a\r\nb</title>",
+     {"initialStates": ["RCDATA state"], "lastStartTag": "title"}),
+    ("nul in rcdata", "a\x00b</title>",
+     {"initialStates": ["RCDATA state"], "lastStartTag": "title"}),
     # eof truncations
     ("eof in tag name", "<div", {}),
     ("eof after attr name", "<div a", {}),

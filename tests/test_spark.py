@@ -355,3 +355,21 @@ def test_selector_plan_postop_left_of_sibling(spark):
         exp = len(py_select(dom, sel)) * 3
         assert got == exp, f"{sel}: {got} != {exp}"
     nodes.unpersist()
+
+
+def test_selector_plan_nth_arithmetic_parity(spark):
+    """nth-expression arithmetic incl. negative/zero steps compiles to the
+    same matches in the window plan as in the Python matcher."""
+    html = "<ul>" + "".join(f"<li id=i{k}>x</li>" for k in range(8)) + "</ul>"
+    df = spark.createDataFrame([("1", html)], ["doc_id", "html"])
+    nodes = parse_nodes_df(df).cache()
+    dom = FlatDOM.from_html(html)
+    for sel in ["li:nth-child(-n+3)", "li:nth-child(2n+0)",
+                "li:nth-child(-2n+5)", "li:nth-last-child(-n+2)",
+                "li:nth-of-type(3n-1)", "li:nth-child(0n+4)",
+                "li:nth-child(n)", "li:nth-child(even)",
+                "li:nth-last-of-type(odd)"]:
+        got = sorted(r.node_id for r in css_select_df(nodes, sel).collect())
+        exp = sorted(py_select(dom, sel))
+        assert got == exp, (sel, got, exp)
+    nodes.unpersist()
