@@ -301,24 +301,29 @@ def _q_simhash_dups(spark, sf_dir):
 
 
 def _q_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k against the vec_id=0 embedding."""
-    from sparkhtml.spark.similarity import cosine_topk
+    """Brute-force cosine top-k against the vec_id=0 embedding.
+
+    The query vector stays in the plan (broadcast 1-row cross join) —
+    no driver-side .first() job at query-build time.
+    """
+    from sparkhtml.spark.similarity import cosine_topk_vs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    top = cosine_topk(emb, [float(x) for x in q], k=10)
+    top = cosine_topk_vs(emb, emb.filter(F.col("vec_id") == 0), k=10)
     return top.select("vec_id", F.round("cosine", 3).alias("cosine"))
 
 
 def _q_ivf_topk(spark, sf_dir):
     """IVF ANN with full probe (n_probe=k) — must equal exact brute force,
-    so the DuckDB cosine oracle applies to the whole index machinery."""
-    from sparkhtml.spark.similarity import IVFIndex
+    so the DuckDB cosine oracle applies to the whole index machinery.
+    assign() + cluster filter still run; the query vector stays in the
+    plan via the broadcast 1-row join (no .first() fetch)."""
+    from sparkhtml.spark.similarity import IVFIndex, cosine_topk_vs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     idx = IVFIndex(k=4).fit(emb)
-    top = idx.topk(emb, q, k=10, n_probe=4)
+    cand = idx.assign(emb).filter(F.col("ivf_cluster").isin(list(range(4))))
+    top = cosine_topk_vs(cand, emb.filter(F.col("vec_id") == 0), k=10)
     return top.select("vec_id", F.round("cosine", 3).alias("cosine"))
 
 

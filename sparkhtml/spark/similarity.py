@@ -55,6 +55,35 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vs(
+    df: DataFrame, query_df: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k against a 1-row query *DataFrame*.
+
+    The query vector stays inside the plan (broadcast cross join with the
+    single query row) — no driver-side ``.first()`` job at query-build
+    time, which matters when query construction itself is a hot path
+    (this module's rule; see ``cosine_near_dup_pairs`` requiring ``dim=``
+    for the same reason).
+    """
+    qv = query_vec_col or vec_col
+    q = query_df.select(
+        F.col(qv).alias("_qv"),
+        F.greatest(_norm_col(qv), F.lit(1e-12)).alias("_qnorm"),
+    )
+    joined = df.crossJoin(F.broadcast(q))
+    cos = dot_col(F.col(vec_col), F.col("_qv")) / (
+        F.greatest(_norm_col(vec_col), F.lit(1e-12)) * F.col("_qnorm")
+    )
+    return (
+        joined.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hyperplane_signature(
     vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
 ):
@@ -199,8 +228,14 @@ def cosine_near_dup_pairs(
     identical payloads.
     """
     sig = hyperplane_signature(vec_col, dim, n_planes, seed)
+    # Norm is projected ONCE per row here, before the self-join: computing
+    # it inside the join output would re-run the O(dim) aggregate per
+    # candidate PAIR — exactly the volume the bucket cap protects.
     b = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sig.alias("bucket"),
+        F.greatest(_norm_col(vec_col), F.lit(1e-12)).alias("norm"),
     ).cache()
     if max_bucket is not None:
         widths = b.groupBy("bucket").agg(F.count("*").alias("_w"))
@@ -211,8 +246,7 @@ def cosine_near_dup_pairs(
         )
     l, r = b.alias("l"), b.alias("r")
     cos = dot_col(F.col("l.v"), F.col("r.v")) / (
-        F.greatest(_norm_col("l.v"), F.lit(1e-12))
-        * F.greatest(_norm_col("r.v"), F.lit(1e-12))
+        F.col("l.norm") * F.col("r.norm")
     )
     return (
         l.join(

@@ -167,3 +167,21 @@ def test_extraction_pipeline_has_no_shuffle(spark):
 
     p = plan(extract_spans_df(entry._interleaved(spark, SF)))
     assert "Exchange" not in p, p
+
+
+def test_cosine_neardup_norms_precomputed(spark):
+    """cosine_near_dup_pairs must evaluate the O(dim) norm aggregate once
+    per ROW (projected before the bucket self-join), not once per candidate
+    PAIR in the join output (VERDICT r2 finding). The post-join projection
+    may therefore contain exactly one aggregate lambda — the dot product."""
+    from sparkhtml.spark.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = cosine_near_dup_pairs(emb, threshold=0.9, dim=64)
+    opt = optimized(q)
+    # the optimized plan prints top-down: everything before the Join line
+    # is the post-join side of the tree
+    lines = opt.splitlines()
+    join_at = next(i for i, ln in enumerate(lines) if "Join" in ln)
+    above = "\n".join(lines[:join_at])
+    assert above.count("aggregate(") == 1, above
