@@ -44,27 +44,7 @@ def main() -> None:
     interleaved = entry._interleaved(spark, sf_dir)
     interleaved.cache().count()  # isolate parse cost from scan cost
 
-    timings: dict[str, float] = {}
-
-    def bench(name, thunk, reps=1):
-        best = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            thunk()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        return best
-
-    # q1: the north-rule pipeline — parse+classify+re-emit every span
-    t_extract = bench(
-        "q1_extract_spans",
-        lambda: extract_spans_df(interleaved).write.format("noop").mode(
-            "overwrite"
-        ).save(),
-    )
-
-    # q2: flattened-DOM materialization (parse → nodes explode)
+    # q2/q3 inputs
     html_df = docs.select(
         "doc_id",
         F.concat(
@@ -73,31 +53,46 @@ def main() -> None:
         ).alias("html"),
     )
     nodes = parse_nodes_df(html_df)
-    bench("q2_parse_nodes", lambda: nodes.write.format("noop").mode("overwrite").save())
-
-    # q3: selector-as-DataFrame plan over a materialized nodes table
     nodes_cached = parse_nodes_df(html_df).cache()
     nodes_cached.count()
-    bench(
-        "q3_css_child_plan",
-        lambda: css_select_df(nodes_cached, "div.wrap > p#main").count(),
-    )
-
-    # q4: MinHash LSH dedup end-to-end
-    bench("q4_minhash_dedup", lambda: minhash_lsh_pairs(docs, min_agree=0.9).count())
-
-    # q5: brute-force cosine top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.first()["embedding"]]
-    bench("q5_cosine_topk", lambda: cosine_topk(emb, qv, 10).collect())
 
-    # q6: JVM-side text-quality features
-    bench(
-        "q6_quality_features",
-        lambda: quality_features(docs).write.format("noop").mode("overwrite").save(),
-    )
+    def noop_write(df):
+        df.write.format("noop").mode("overwrite").save()
 
-    docs_per_sec = round(n_docs / t_extract, 2)
+    queries = {
+        # q1: the north-rule pipeline — parse+classify+re-emit every span
+        "q1_extract_spans": lambda: noop_write(extract_spans_df(interleaved)),
+        # q2: flattened-DOM materialization (parse → nodes explode)
+        "q2_parse_nodes": lambda: noop_write(nodes),
+        # q3: selector-as-DataFrame plan over a materialized nodes table
+        "q3_css_child_plan": lambda: css_select_df(
+            nodes_cached, "div.wrap > p#main"
+        ).count(),
+        # q4: MinHash LSH dedup end-to-end
+        "q4_minhash_dedup": lambda: minhash_lsh_pairs(docs, min_agree=0.9).count(),
+        # q5: brute-force cosine top-k over embeddings
+        "q5_cosine_topk": lambda: cosine_topk(emb, qv, 10).collect(),
+        # q6: JVM-side text-quality features
+        "q6_quality_features": lambda: noop_write(quality_features(docs)),
+    }
+
+    # INTERLEAVED best-of-N (VERDICT r2 "wrong" #4): round-robin the whole
+    # query set per rep so slow box drift hits every query equally, then
+    # take the per-query minimum — the BENCH/run_scaling.py protocol.
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    timings: dict[str, float] = {}
+    for _ in range(reps):
+        for name, thunk in queries.items():
+            t0 = time.perf_counter()
+            thunk()
+            dt = time.perf_counter() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    timings = {k: round(v, 3) for k, v in timings.items()}
+
+    docs_per_sec = round(n_docs / timings["q1_extract_spans"], 2)
     print(
         json.dumps(
             {
@@ -108,6 +103,8 @@ def main() -> None:
                 "sf": sf,
                 "n_docs": n_docs,
                 "cpus": cpus,
+                "reps": reps,
+                "protocol": "interleaved-best-of-reps",
             }
         )
     )
