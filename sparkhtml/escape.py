@@ -13,7 +13,12 @@ from __future__ import annotations
 
 import re
 
-from .entities import consume_char_ref
+from .entities import (
+    ENTITIES,
+    _BY_FIRST_LEGACY,
+    consume_char_ref,
+    map_numeric,
+)
 
 _ESCAPES = [
     ("&", "&amp;"),
@@ -31,24 +36,50 @@ def escape_html(s: str) -> str:
     return s
 
 
+# Candidate character references, scanned C-side by the regex engine; the
+# Python callback fires only per candidate. Alternation order matters:
+# hex / dec numeric, then the bare "#"/"#x" absence-of-digits stub, then a
+# named run (≤32 chars — MAX_ENTITY_LEN — with optional final ';').
+_CHARREF_RE = re.compile(
+    r"&(#[xX][0-9a-fA-F]+;?|#[0-9]+;?|#[xX]?|[a-zA-Z][a-zA-Z0-9]{0,31};?)"
+)
+
+
+def _replace_charref(m: "re.Match[str]") -> str:
+    ref = m.group(1)
+    if ref[0] == "#":
+        if len(ref) == 1 or (len(ref) == 2 and ref[1] in "xX"):
+            return m.group(0)  # absence-of-digits: consumed chars verbatim
+        if ref[1] in "xX":
+            body, base = ref[2:], 16
+        else:
+            body, base = ref[1:], 10
+        if body.endswith(";"):
+            body = body[:-1]
+        return map_numeric(int(body, base), None)
+    if ref.endswith(";") and ref in ENTITIES:
+        return ENTITIES[ref]
+    # legacy semicolonless subset, longest-prefix (buckets are longest-first)
+    for name in _BY_FIRST_LEGACY.get(ref[0], ()):
+        if ref.startswith(name):
+            return ENTITIES[name] + ref[len(name):]
+    return m.group(0)
+
+
 def unescape_html(s: str) -> str:
     """X9: resolve all character references, tolerant of missing semicolons
     (NSString+HTMLEntities.m:27-118). Not attribute context: the historical
-    ``&xyz=`` suppression rule does not apply."""
+    ``&xyz=`` suppression rule does not apply.
+
+    One ``re.sub`` over a compiled candidate regex (scanning stays in C;
+    the callback mirrors :func:`sparkhtml.entities.consume_char_ref`
+    semantics for the non-attribute case — the tokenizer keeps using
+    ``consume_char_ref`` itself, which the differential property test
+    cross-checks against this path).
+    """
     if "&" not in s:
         return s
-    out = []
-    i = 0
-    n = len(s)
-    while True:
-        j = s.find("&", i)
-        if j == -1:
-            out.append(s[i:])
-            break
-        out.append(s[i:j])
-        text, i = consume_char_ref(s, j, in_attribute=False, errors=None)
-        out.append(text)
-    return "".join(out)
+    return _CHARREF_RE.sub(_replace_charref, s)
 
 
 # ---------------------------------------------------------------- pandas

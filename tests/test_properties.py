@@ -217,6 +217,29 @@ def test_unescape_matches_stdlib(text):
     assert unescape_html(text) == stdhtml.unescape(text)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.text(
+    alphabet=string.ascii_letters + string.digits + "&#;xX abc<>\"'",
+    max_size=80,
+))
+def test_unescape_regex_path_matches_tokenizer_resolver(text):
+    """Differential: the re.sub fast path in unescape_html must agree with
+    a loop over consume_char_ref (the tokenizer's resolver, non-attribute
+    mode) — the two in-repo realizations of WHATWG §13.2.5.72-80."""
+    from sparkhtml.entities import consume_char_ref
+
+    out, i = [], 0
+    while True:
+        j = text.find("&", i)
+        if j == -1:
+            out.append(text[i:])
+            break
+        out.append(text[i:j])
+        t, i = consume_char_ref(text, j, in_attribute=False, errors=None)
+        out.append(t)
+    assert unescape_html(text) == "".join(out)
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(alphabet="<>/&;#abcdiv plsERT='\"!-0123456789", max_size=120))
 def test_tag_soup_parse_serialize_converges(html):
