@@ -261,17 +261,27 @@ def _q_exact_dup_groups(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs on the dup-injected corpus (rows-only:
-    DuckDB cannot reproduce xxhash64 signatures)."""
+    """MinHash+LSH near-dup pairs on the dup-injected corpus.
+
+    hash_mode="md5" makes the 32-hash signature bit-for-bit reproducible
+    in DuckDB (md5 exists verbatim there), so the oracle recomputes the
+    FULL pipeline — normalization, shingling, seeded min-hash fold — and
+    asserts the exact pair set. min_agree=0.99 with 32 hashes demands
+    full-signature equality, and signature-equal docs always share every
+    band bucket, so the oracle needs no bucket-hash reproduction: any
+    banding-join bug that drops or fabricates pairs mismatches. The
+    production xxhash64 path shares all machinery but the hash call and
+    is recall-pinned in tests/test_spark.py.
+    """
     from sparkhtml.spark.dedup import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
-    return minhash_lsh_pairs(docs.unionByName(dups), min_agree=0.99).select(
-        "a", "b"
-    )
+    return minhash_lsh_pairs(
+        docs.unionByName(dups), min_agree=0.99, hash_mode="md5"
+    ).select("a", "b")
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -288,16 +298,24 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_simhash_dups(spark, sf_dir):
-    """SimHash near-dups (rows-only check: FNV/bit UDF not in DuckDB)."""
+    """SimHash near-dups at Hamming 0.
+
+    hash_mode="md5": token hash = big-endian uint64 of md5's first 8
+    bytes, which DuckDB reproduces as ('0x' || substr(md5(t),1,16))::
+    UBIGINT — the oracle recomputes every per-bit vote and asserts the
+    exact pair set (tokenization, votes, tie rule, banding join,
+    bit_count verify). The production SipHash path shares all machinery
+    but the token hash and is pinned separately in tests/test_spark.py.
+    """
     from sparkhtml.spark.dedup import simhash_near_dups
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
-    return simhash_near_dups(docs.unionByName(dups), max_hamming=0).select(
-        "a", "b"
-    )
+    return simhash_near_dups(
+        docs.unionByName(dups), max_hamming=0, hash_mode="md5"
+    ).select("a", "b")
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -328,8 +346,13 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_cosine_neardup(spark, sf_dir):
-    """Embedding near-dup pairs (LSH-bucketed; rows-only — bucket hashes
-    not reproducible in SQL, and exactness is covered by q_cosine_topk)."""
+    """Embedding near-dup pairs (hyperplane-LSH bucketed, exact cosine
+    verify). The hyperplanes are seeded driver-side constants, so the
+    oracle inlines the SAME 12×64 plane literals (same random.Random(42)
+    stream) and recomputes bucket assignment + the capped bucket
+    self-join + the cosine filter exactly in DuckDB — full oracle, no
+    hash irreproducibility. Sign margins at sf0.01 are ≥4e-4, dwarfing
+    any cross-engine float noise (~1e-13)."""
     from sparkhtml.spark.similarity import cosine_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -673,8 +696,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }.items()}
 
 
+# Injected-dup corpus CTE shared by the LSH dedup oracles (mirrors the
+# unionByName in _q_minhash_pairs / _q_simhash_dups).
+_DUP_CORPUS = (
+    "corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 10 = 0)"
+)
+
+
+def _minhash_oracle() -> str:
+    """Full MinHash+LSH oracle: recompute the md5-mode 32-hash signature
+    per doc (normalize → word 3-gram shingles → min over shingles of
+    md5(k ':' shingle) for k in 0..31) and emit signature-equal pairs —
+    exactly what min_agree=0.99 verification accepts, and banding can
+    never drop (equal sigs ⇒ equal band keys)."""
+    return (
+        "WITH " + _DUP_CORPUS + ", "
+        "words AS (SELECT doc_id, list_filter(string_split("
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+        "w -> len(w) > 0) AS ws FROM corpus), "
+        "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 "
+        "THEN [array_to_string(ws, ' ')] "
+        "ELSE [array_to_string(list_slice(ws, i, i+2), ' ') "
+        "FOR i IN range(1, len(ws) - 1)] END AS shingles FROM words), "
+        "mins AS (SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS h "
+        "FROM sh, unnest(shingles) AS t(s), range(32) AS r(k) "
+        "GROUP BY doc_id, k), "
+        "sigs AS (SELECT doc_id, string_agg(h, ',' ORDER BY k) AS sig "
+        "FROM mins GROUP BY doc_id) "
+        "SELECT l.doc_id AS a, r.doc_id AS b FROM sigs l JOIN sigs r "
+        "ON l.sig = r.sig AND l.doc_id < r.doc_id"
+    )
+
+
+def _simhash_oracle() -> str:
+    """Full SimHash oracle: recompute every 64 per-bit votes from
+    md5-derived token hashes (bit b of ('0x'||substr(md5(t),1,16))::
+    UBIGINT; vote rule 2*ones > n_tokens == votes > 0 incl. the tie case)
+    and emit signature-equal pairs — Hamming 0, the query's max_hamming."""
+    return (
+        "WITH " + _DUP_CORPUS + ", "
+        "toks AS (SELECT doc_id, list_filter(string_split_regex("
+        "lower(text), '\\s+'), w -> len(w) > 0) AS ts FROM corpus), "
+        "th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT "
+        "AS h FROM toks, unnest(ts) AS u(t)), "
+        "bits AS (SELECT doc_id, b, CASE WHEN "
+        "2 * sum(((h >> b) & 1)::INT) > count(*) THEN '1' ELSE '0' END "
+        "AS bit FROM th, range(64) AS r(b) GROUP BY doc_id, b), "
+        "sigs0 AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS sig "
+        "FROM bits GROUP BY doc_id), "
+        "sigs AS (SELECT c.doc_id, coalesce(s.sig, repeat('0', 64)) AS sig "
+        "FROM corpus c LEFT JOIN sigs0 s USING (doc_id)) "
+        "SELECT l.doc_id AS a, r.doc_id AS b FROM sigs l JOIN sigs r "
+        "ON l.sig = r.sig AND l.doc_id < r.doc_id"
+    )
+
+
+def _cosine_neardup_oracle() -> str:
+    """Full hyperplane-LSH oracle: inline the SAME 12×64 seeded plane
+    constants the Spark query uses (random.Random(42) gauss stream),
+    recompute the sign-bit bucket, the 10k bucket cap, the bucket
+    self-join, and the round(cosine,6) >= 0.9999 verify."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(12)]
+    bits = []
+    for b, p in enumerate(planes):
+        lit = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(v, {lit}), "
+            f"x -> x[1]*x[2])) >= 0 THEN {1 << b} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    norm = (
+        "greatest(sqrt(list_sum(list_transform({side}.v, x -> x*x))), "
+        "1e-12)"
+    )
+    return (
+        "WITH corpus AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding "
+        "FROM embeddings WHERE vec_id % 25 = 0), "
+        "bkt AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+        + bucket
+        + " AS bucket FROM corpus), "
+        "capped AS (SELECT * FROM bkt QUALIFY "
+        "count(*) OVER (PARTITION BY bucket) <= 10000) "
+        "SELECT l.vec_id AS a, r.vec_id AS b FROM capped l JOIN capped r "
+        "ON l.bucket = r.bucket AND l.vec_id < r.vec_id "
+        "WHERE round(list_sum(list_transform(list_zip(l.v, r.v), "
+        "x -> x[1]*x[2])) / ("
+        + norm.format(side="l")
+        + " * "
+        + norm.format(side="r")
+        + "), 6) >= 0.9999"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_lsh_pairs": _minhash_oracle(),
+        "simhash_dups": _simhash_oracle(),
+        "cosine_neardup_pairs": _cosine_neardup_oracle(),
         "textcontent_roundtrip": (
             "SELECT doc_id, 't' || text || ' & tail' AS text_content "
             "FROM documents"

@@ -89,30 +89,54 @@ def shingles_col(col: str = "text", n: int = 3):
 
 def minhash_signatures(
     df: DataFrame, col: str = "text", id_col: str = "doc_id",
-    n_hashes: int = 32, shingle_n: int = 3,
+    n_hashes: int = 32, shingle_n: int = 3, hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sig: array<bigint>[n_hashes]) — min over shingles of k
-    seeded xxhash64 values, as ONE ``aggregate`` fold over the shingle
-    array.
+    """(doc_id, sig: array[n_hashes]) — min over shingles of k seeded
+    hashes, as ONE ``aggregate`` fold over the shingle array.
 
     Not k separate ``array_min(transform(sh, …))`` branches: Catalyst's
     CollapseProject would inline the shingle-construction expression into
     every branch and tokenize each document k times (measured 32× cost at
     sf0.1). The fold references ``sh`` once, so shingling runs once per
-    document regardless of k."""
+    document regardless of k.
+
+    ``hash_mode``:
+
+    - ``"xxhash64"`` (default, production): seeded ``xxhash64`` — the
+      fastest JVM-side 64-bit hash; sig is ``array<bigint>``.
+    - ``"md5"`` (oracle): ``md5(i || ':' || shingle)`` hex strings, min
+      is lexicographic; sig is ``array<string>``. md5 exists verbatim in
+      DuckDB, so the ENTIRE signature — shingling, seeding, min-fold —
+      is reproducible in ANSI SQL and the driver's correctness gate can
+      check LSH pair output exactly (CORRECTNESS r2's three ``no_oracle``
+      rows). Same banding/verify machinery either way.
+    """
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         shingles_col(col, shingle_n).alias("sh"),
     )
-    init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(n_hashes)])
+    if hash_mode == "md5":
+        # "g" sorts after every hex digest, so it is the identity for
+        # lexicographic least()
+        init = F.array(*[F.lit("g") for _ in range(n_hashes)])
+
+        def hashes(s):
+            return F.array(
+                *[
+                    F.md5(F.concat_ws(":", F.lit(str(i)), s))
+                    for i in range(n_hashes)
+                ]
+            )
+    else:
+        init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(n_hashes)])
+
+        def hashes(s):
+            return F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)])
+
     sig = F.aggregate(
         "sh",
         init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
+        lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
     )
     return sh.select("doc_id", sig.alias("sig"))
 
@@ -121,12 +145,21 @@ def minhash_lsh_pairs(
     df: DataFrame, col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
     min_agree: float = 0.5, max_bucket: int | None = 10_000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding + signature check.
 
     Returns (a, b, sig_agreement) with a < b and agreement ≥ min_agree.
     The band explode produces ``bands`` rows per doc; the self-join is an
     equi-join on (band, band_hash) — never a cross join.
+
+    ``hash_mode="md5"`` makes the signature DuckDB-reproducible (see
+    :func:`minhash_signatures`); the band bucket key stays ``xxhash64``
+    over the concatenated band slice either way — identical signatures
+    always produce identical bucket keys, so at min_agree high enough to
+    demand full-signature equality the output is exactly the set of
+    signature-equal pairs, which an oracle can compute WITHOUT
+    reproducing the bucket hash.
 
     ``max_bucket`` caps bucket width: a true mega-cluster (10⁶ copies of
     one boilerplate page) would otherwise produce a quadratic pair burst
@@ -135,7 +168,9 @@ def minhash_lsh_pairs(
     in the documented pipeline (SCALE.md §5).
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, col, id_col, n_hashes, shingle_n).cache()
+    sigs = minhash_signatures(
+        df, col, id_col, n_hashes, shingle_n, hash_mode=hash_mode
+    ).cache()
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -200,14 +235,30 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------- simhash
 
 
-def simhash_df(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) via an Arrow-batched pandas UDF (FNV-1a token
-    hashes — deterministic across executor processes)."""
+def simhash_df(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+               hash_mode: str = "stable") -> DataFrame:
+    """(doc_id, simhash) via an Arrow-batched pandas UDF.
+
+    ``hash_mode``:
+
+    - ``"stable"`` (default, production): ``pd.util.hash_array`` token
+      hashes (SipHash, fixed key — deterministic across executor
+      processes, C speed).
+    - ``"md5"`` (oracle): token hash = first 8 bytes of ``md5(token)``,
+      big-endian — bit b equals ``(('0x' || substr(md5(t),1,16))::UBIGINT
+      >> b) & 1`` in DuckDB, so the whole signature is reproducible in
+      ANSI SQL for the driver's correctness gate. Same vote/banding
+      machinery either way.
+    """
     from pyspark.sql.functions import pandas_udf
+
+    batch_fn = (
+        _simhash_md5_batch if hash_mode == "md5" else _simhash_stable_batch
+    )
 
     @pandas_udf(LongType())
     def simhash(s: pd.Series) -> pd.Series:
-        return _simhash_stable_batch(s)
+        return batch_fn(s)
 
     return df.select(F.col(id_col).alias("doc_id"), simhash(F.col(col)).alias("simhash"))
 
@@ -246,8 +297,52 @@ def _simhash_stable_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _simhash_md5_batch(texts: pd.Series) -> pd.Series:
+    """Whole-batch simhash with md5-derived token hashes (oracle mode).
+
+    Per-UNIQUE-token md5 (memoized dict), then the same vectorized
+    unpackbits/reduceat vote pass as the stable path. Bit b of a token
+    hash is ``(h >> b) & 1`` where ``h`` is the big-endian uint64 of the
+    first 8 digest bytes — matching DuckDB's hex-prefix cast exactly.
+    """
+    import hashlib
+
+    token_lists = [(t or "").lower().split() for t in texts]
+    counts = np.array([len(ts) for ts in token_lists], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    nz = counts > 0
+    if not nz.any():
+        return pd.Series(out)
+    cache: dict[str, int] = {}
+    flat = np.empty(int(counts.sum()), dtype=np.uint64)
+    i = 0
+    for ts in token_lists:
+        for tok in ts:
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                )
+                cache[tok] = h
+            flat[i] = h
+            i += 1
+    bits = np.unpackbits(
+        flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    nz_counts = counts[nz]
+    offsets = np.zeros(len(nz_counts), dtype=np.int64)
+    np.cumsum(nz_counts[:-1], out=offsets[1:])
+    sums = np.add.reduceat(bits.astype(np.int32), offsets, axis=0)
+    votes = 2 * sums - nz_counts[:, None]
+    sig_bits = (votes > 0).astype(np.uint8)
+    packed = np.packbits(sig_bits, axis=1, bitorder="little")
+    sigs = packed.copy().view(np.int64).reshape(-1)
+    out[nz] = sigs
+    return pd.Series(out)
+
+
 def simhash_near_dups(df: DataFrame, col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3, hash_mode: str = "stable") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into (max_hamming+1) blocks; any pair
@@ -256,7 +351,7 @@ def simhash_near_dups(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    sh = simhash_df(df, col, id_col).cache()
+    sh = simhash_df(df, col, id_col, hash_mode=hash_mode).cache()
 
     def block_val(b: int):
         shifted = F.shiftrightunsigned(F.col("simhash"), b * width)

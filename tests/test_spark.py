@@ -131,6 +131,98 @@ def test_simhash(spark):
     assert pairs == [(1, 2, 0)]
 
 
+def test_minhash_hash_modes_agree(spark):
+    """The md5 oracle mode and the xxhash64 production mode share all
+    machinery but the hash call: on the sf0.001 corpus both produce the
+    IDENTICAL candidate set, and banding recall vs exact all-pairs
+    jaccard >= 0.8 is total (28/28 pairs, deterministic: fixed data +
+    seeded hashes). Pins the production path the DuckDB oracle cannot
+    see (VERDICT r2 next-round #2)."""
+    from sparkhtml.spark.dedup import minhash_lsh_pairs, shingles_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles_col("text", 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    exact = {
+        (r.a, r.b)
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .filter(F.col("jac") >= 0.8)
+        .select("a", "b")
+        .collect()
+    }
+    assert len(exact) == 28
+    sets = {}
+    for mode in ("xxhash64", "md5"):
+        sets[mode] = {
+            (r.a, r.b)
+            for r in minhash_lsh_pairs(docs, min_agree=0.0, hash_mode=mode)
+            .select("a", "b")
+            .collect()
+        }
+        assert exact <= sets[mode], f"banding dropped exact pairs ({mode})"
+    assert sets["md5"] == sets["xxhash64"]
+
+
+def test_simhash_hash_modes_agree(spark):
+    """md5 (oracle) and SipHash (production) simhash modes: identical
+    token multisets give identical signatures under ANY token hash, so
+    every identical-multiset pair (injected dups included) must appear in
+    BOTH modes' Hamming-0 output. The modes legitimately differ on
+    near-identical organic multisets (whether a one-token delta flips a
+    tied vote depends on the hash), so full pair-set equality is NOT the
+    invariant."""
+    from sparkhtml.spark.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(dups)
+    # identical-token-multiset pairs, hash-independent ground truth
+    toks = corpus.select(
+        "doc_id",
+        F.sort_array(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+            )
+        ).alias("ts"),
+    )
+    l = toks.select(F.col("doc_id").alias("a"), F.col("ts").alias("ta"))
+    r = toks.select(F.col("doc_id").alias("b"), F.col("ts").alias("tb"))
+    same_multiset = {
+        (x.a, x.b)
+        for x in l.crossJoin(r)
+        .filter((F.col("a") < F.col("b")) & (F.col("ta") == F.col("tb")))
+        .collect()
+    }
+    injected = {
+        (x.doc_id, x.doc_id + 1000000)
+        for x in docs.filter(F.col("doc_id") % 10 == 0).collect()
+    }
+    assert injected <= same_multiset
+    for mode in ("stable", "md5"):
+        pairs = {
+            (x.a, x.b)
+            for x in simhash_near_dups(corpus, max_hamming=0, hash_mode=mode)
+            .select("a", "b")
+            .collect()
+        }
+        assert same_multiset <= pairs, mode
+
+
 def test_similarity(spark):
     from sparkhtml.spark.similarity import (
         cosine_near_dup_pairs, cosine_topk, lsh_topk,
