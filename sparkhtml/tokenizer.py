@@ -98,6 +98,36 @@ _LOWER = str.maketrans(
 )
 
 
+def match_fast_tag(s: str, i: int):
+    """Match a complete, error-free start tag with simple attributes at
+    ``s[i:]`` (``i`` just past the ``<``). Returns
+    ``(name, attrs, self_closing, end_index)`` or None → caller takes the
+    per-state machine. Shared by the tokenizer fast path and the fused
+    builder loop (treebuilder._turbo_in_body)."""
+    m = _RE_FAST_TAG.match(s, i)
+    if m is None:
+        return None
+    attrs_s = m.group(2)
+    if m.group(4) and not m.group(3) and _RE_UNQUOTED_TAIL.search(attrs_s):
+        # '/' directly after an unquoted value belongs to the value
+        return None
+    attrs: list[tuple[str, str]] = []
+    if attrs_s:
+        seen = set()
+        for am in _RE_FAST_ATTR.finditer(attrs_s):
+            name = am.group(1)
+            if name in seen:
+                return None  # dup-attr drops + errors: slow path
+            seen.add(name)
+            v = am.group(2)
+            if v is None:
+                v = am.group(3)
+            if v is None:
+                v = am.group(4)
+            attrs.append((name, v if v is not None else ""))
+    return m.group(1), attrs, bool(m.group(4)), m.end()
+
+
 class Tokenizer:
     """Pull tokenizer: ``next_token()`` returns one token or None at EOF end.
 
@@ -353,31 +383,13 @@ class Tokenizer:
 
     def _try_fast_tag(self, s: str, i: int):
         """One-regex start tag with simple attributes; None → slow path."""
-        m = _RE_FAST_TAG.match(s, i)
-        if m is None:
+        hit = match_fast_tag(s, i)
+        if hit is None:
             return None
-        attrs_s = m.group(2)
-        if m.group(4) and not m.group(3) and _RE_UNQUOTED_TAIL.search(attrs_s):
-            # '/' directly after an unquoted value belongs to the value
-            return None
-        attrs: list[tuple[str, str]] = []
-        if attrs_s:
-            seen = set()
-            for am in _RE_FAST_ATTR.finditer(attrs_s):
-                name = am.group(1)
-                if name in seen:
-                    return None  # dup-attr drops + errors: slow path
-                seen.add(name)
-                v = am.group(2)
-                if v is None:
-                    v = am.group(3)
-                if v is None:
-                    v = am.group(4)
-                attrs.append((name, v if v is not None else ""))
-        name = m.group(1)
+        name, attrs, self_closing, end = hit
         self.last_start_tag = name
-        self._queue.append(("StartTag", name, attrs, bool(m.group(4))))
-        self.i = m.end()
+        self._queue.append(("StartTag", name, attrs, self_closing))
+        self.i = end
         self.state = DATA
         return True
 

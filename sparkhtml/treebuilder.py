@@ -19,10 +19,16 @@ pre-order ids (SURVEY.md §7.3.1).
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from . import tokenizer as tz
+from .entities import consume_char_ref
 from .tokenizer import Tokenizer
+
+# complete attr-less lowercase start/end tag, matched in one step by the
+# fused in-body loop (_turbo_in_body)
+_RE_TURBO_TAG = re.compile(r"(/?)([a-z][a-z0-9]*)>")
 
 DOCUMENT, ELEMENT, TEXT, COMMENT, DOCTYPE = 0, 1, 2, 3, 4
 NS_HTML, NS_MATHML, NS_SVG = 0, 1, 2
@@ -318,7 +324,11 @@ class TreeBuilder:
         text: str,
         fragment_context: Optional[tuple[int, str]] = None,
         collect_errors: bool = True,
+        use_turbo: bool = True,
     ) -> None:
+        # use_turbo=False forces the token-at-a-time pull path — used by the
+        # fused-vs-pull differential property test (test_properties.py)
+        self.use_turbo = use_turbo
         # fragment_context: (ns, tag) per the fragment algorithm
         # (HTMLParser.m:71-107).
         self.document = Node(DOCUMENT)
@@ -398,16 +408,253 @@ class TreeBuilder:
         tk = self.tokenizer
         queue = tk._queue
         states = tz._STATES
+        turbo = self._turbo_in_body
+        in_fragment = self.fragment_context is not None or not self.use_turbo
         while not self.done:
-            while not queue:
-                if tk._eof_emitted:
-                    return self.document
-                states[tk.state](tk)
-            process(queue.popleft())
-        if self.fragment_context is not None:
-            # unwrap synthetic root (HTMLParser.m:142-147)
-            pass
+            if queue:
+                process(queue.popleft())
+                continue
+            # fused lexer+builder fast loop: engages whenever the machine
+            # is in the steady state (DATA tokenizer state, in-body or
+            # in-cell mode, HTML current node, no LF-skip / foster parent)
+            if (
+                not in_fragment
+                and tk.state == "data"
+                and (
+                    self.mode == "in-body"
+                    # in-cell: skip when the cursor sits on the cell's end
+                    # tag — entering/exiting the fused loop for a single
+                    # delegated token costs more than it saves
+                    or (
+                        self.mode == "in-cell"
+                        and not tk.s.startswith("</", tk.i)
+                    )
+                )
+                and not self.ignore_next_lf
+                and not self.foster_parenting
+                and self.open_elements
+                and self.open_elements[-1].ns == NS_HTML
+                and turbo()
+            ):
+                continue
+            if tk._eof_emitted:
+                return self.document
+            states[tk.state](tk)
         return self.document
+
+    def _turbo_in_body(self) -> bool:
+        """Fused tokenize+build loop for the in-body steady state.
+
+        Consumes text runs, character references, comments and
+        simple/fast-path tags directly from the input, constructing the
+        tree without materializing token tuples or passing through the
+        state-dispatch/queue/process_token machinery. Anything outside
+        the common shapes (``<!``, NULs, uppercase tags, charrefs in
+        attributes, dup attrs, …) — or any delegated token that flips the
+        machine out of the steady state (mode switch, RCDATA/RAWTEXT
+        switch, foreign content, pre's LF-skip) — returns control to the
+        general per-state machinery at the exact input position.
+
+        Equivalent to the token-at-a-time path by construction: simple
+        inserts replicate the 'any other start tag' / 'any other end tag'
+        spec branches, everything else calls the same megaswitch methods
+        the dispatcher would. Covered by the tree-construction goldens
+        plus the fused-vs-pull differential property test.
+        """
+        tk = self.tokenizer
+        s = tk.s
+        n = tk.n
+        i = tk.i
+        start = i
+        oe = self.open_elements
+        af = self.active_formatting
+        md = self.max_depth
+        end_match = tz._RE_SIMPLE_TAG.match
+        fast_tag = tz.match_fast_tag
+        stop_search = tz._STOP_DATA.search
+        special_start = _IN_BODY_SPECIAL_START
+        fmt_simple = _TURBO_FMT_SIMPLE
+        mode0 = self.mode
+        if mode0 == "in-body":
+            end_skip = _TURBO_END_SKIP
+            delegate_start = self._in_body_start_tag
+            delegate_end = self._in_body_end_tag
+        else:  # in-cell: table-part tags delegate, all else is in-body rules
+            end_skip = _TURBO_END_SKIP_CELL
+            delegate_start = delegate_end = self._mode_in_cell
+        frameset_ok = self.frameset_ok
+        while i < n:
+            c = s[i]
+            if c == "<":
+                if s.startswith("/", i + 1):
+                    m = end_match(s, i + 2)
+                    if m is None:
+                        break  # uppercase / attr-ful / EOF end tag: slow
+                    name = m.group(1)
+                    top = oe[-1]
+                    if top.tag == name and top.ns == NS_HTML:
+                        if name not in end_skip and len(oe) > 1:
+                            # 'any other end tag' (and the p/li/heading/
+                            # P_CLOSERS branches) reduce to a single pop
+                            # when the current node matches: implied-end-
+                            # tag generation stops at the matching node.
+                            oe.pop()
+                            i = m.end()
+                            continue
+                        if name in FORMATTING and af:
+                            entry = af[-1]
+                            if entry is not MARKER and entry[0] is top:
+                                # adoption agency, well-nested case: fmt
+                                # element is the current node ⇒ no
+                                # furthest block ⇒ pop + drop the AFE
+                                # entry (HTMLParser.m:1142-1267)
+                                oe.pop()
+                                af.pop()
+                                i = m.end()
+                                continue
+                    i = m.end()
+                    self.frameset_ok = frameset_ok
+                    delegate_end(("EndTag", name, [], False))
+                else:
+                    hit = fast_tag(s, i + 1)
+                    if hit is None:
+                        if s.startswith("!--", i + 1):
+                            j = s.find("-->", i + 4)
+                            body = s[i + 4 : j] if j != -1 else None
+                            if (
+                                body is not None
+                                and "--!" not in body
+                                and "<!" not in body  # nested-comment error
+                                and "\0" not in body
+                                and not body.startswith(">")
+                                and not body.startswith("->")
+                            ):
+                                node = Node(COMMENT, text=body)
+                                parent = oe[-1]
+                                node.parent = parent
+                                parent.children.append(node)
+                                i = j + 3
+                                continue
+                        break  # not turbo-able: per-state machine
+                    name, attrs, self_closing, end = hit
+                    # ---- start tag ----
+                    tk.last_start_tag = name
+                    i = end
+                    if name not in special_start:
+                        # 'any other start tag': reconstruct + insert
+                        if af:
+                            self._reconstruct_formatting()
+                        if len(oe) < md:
+                            el = Node(ELEMENT, name, NS_HTML, attrs)
+                            parent = oe[-1]
+                            el.parent = parent
+                            parent.children.append(el)
+                            oe.append(el)
+                        else:
+                            self.parse_error("depth-limit-exceeded")
+                        continue
+                    if name in fmt_simple or (
+                        name == "a" and not _has_open_a(af)
+                    ):
+                        # formatting start, no prior same-tag complication:
+                        # reconstruct + insert + AFE push (Noah's Ark in
+                        # _push_formatting). Mirrors the megaswitch branch
+                        # including the depth-guard posture (AFE entry is
+                        # pushed even when the element is depth-dropped).
+                        if af:
+                            self._reconstruct_formatting()
+                        el = Node(ELEMENT, name, NS_HTML, attrs)
+                        if len(oe) < md:
+                            parent = oe[-1]
+                            el.parent = parent
+                            parent.children.append(el)
+                            oe.append(el)
+                        else:
+                            self.parse_error("depth-limit-exceeded")
+                        self._push_formatting(
+                            el, ("StartTag", name, attrs, self_closing)
+                        )
+                        continue
+                    if name in P_CLOSERS:
+                        # in-body P_CLOSERS branch, inlined (valid under
+                        # in-cell too: cell megaswitch passes non-table
+                        # tags to the in-body rules)
+                        if self._in_scope("p", SCOPE_BUTTON):
+                            self._close_p()
+                        if name == "menu":
+                            cur = oe[-1]
+                            if cur.ns == NS_HTML and cur.tag == "menuitem":
+                                oe.pop()
+                        if len(oe) < md:
+                            el = Node(ELEMENT, name, NS_HTML, attrs)
+                            parent = oe[-1]
+                            el.parent = parent
+                            parent.children.append(el)
+                            oe.append(el)
+                        else:
+                            self.parse_error("depth-limit-exceeded")
+                        continue
+                    if name in HEADINGS:
+                        # in-body heading branch, inlined
+                        if self._in_scope("p", SCOPE_BUTTON):
+                            self._close_p()
+                        cur = oe[-1]
+                        if cur.ns == NS_HTML and cur.tag in HEADINGS:
+                            self.parse_error("unexpected-heading-in-heading")
+                            oe.pop()
+                        if len(oe) < md:
+                            el = Node(ELEMENT, name, NS_HTML, attrs)
+                            parent = oe[-1]
+                            el.parent = parent
+                            parent.children.append(el)
+                            oe.append(el)
+                        else:
+                            self.parse_error("depth-limit-exceeded")
+                        continue
+                    self.frameset_ok = frameset_ok
+                    delegate_start(("StartTag", name, attrs, self_closing))
+                # delegated to the megaswitch: re-validate the steady state
+                frameset_ok = self.frameset_ok
+                if (
+                    self.done
+                    or self.mode != mode0
+                    or tk.state != "data"
+                    or self.ignore_next_lf
+                    or self.foster_parenting
+                ):
+                    tk.i = i
+                    return True
+                top = oe[-1] if oe else None
+                if top is None or top.ns != NS_HTML:
+                    tk.i = i
+                    return True
+                continue
+            if c == "&":
+                text, i = consume_char_ref(s, i, False, tk.errors)
+            elif c == "\0":
+                break
+            else:
+                m = stop_search(s, i + 1)
+                j = m.start() if m else n
+                text = s[i:j]
+                i = j
+            # in-body Character: reconstruct, insert+coalesce, frameset_ok
+            if af:
+                self._reconstruct_formatting()
+            parent = oe[-1]
+            children = parent.children
+            last = children[-1] if children else None
+            if last is not None and last.kind == TEXT:
+                last._parts.append(text)
+            else:
+                node = Node(TEXT, text=text)
+                node.parent = parent
+                children.append(node)
+            if frameset_ok and text.strip("\t\n\x0c\r "):
+                frameset_ok = False
+        tk.i = i
+        self.frameset_ok = frameset_ok
+        return i > start
 
     def fragment_children(self) -> list[Node]:
         return list(self.root.children)
@@ -2299,6 +2546,36 @@ _IN_BODY_SPECIAL_START = frozenset(
      "marquee", "object"]
 ) | P_CLOSERS | HEADINGS | FORMATTING
 
+# formatting tags the fused loop opens inline: plain reconstruct + insert +
+# AFE push ('a' needs the open-a scan, 'nobr' the nobr-in-scope check)
+_TURBO_FMT_SIMPLE = FORMATTING - frozenset(["a", "nobr"])
+
+
+def _has_open_a(af) -> bool:
+    """True if an <a> is in the active formatting list after the last
+    marker (the in-body 'a' start-tag precondition)."""
+    for e in reversed(af):
+        if e is MARKER:
+            return False
+        if e[0].tag == "a" and e[0].ns == NS_HTML:
+            return True
+    return False
+
+
+# End tags the fused loop may NOT reduce to a single pop even when the
+# current node matches: body/html switch modes, form clears the pointer,
+# br re-enters as a start tag, applet/marquee/object clear the formatting
+# list to a marker, and formatting tags take the adoption agency.
+_TURBO_END_SKIP = frozenset(
+    ["body", "html", "form", "br", "applet", "marquee", "object"]
+) | FORMATTING
+
+# in-cell additionally delegates every table-part end tag (cell close,
+# AFE-marker clearing, mode switch back to in-row)
+_TURBO_END_SKIP_CELL = _TURBO_END_SKIP | frozenset(
+    "caption col colgroup table tbody td tfoot th thead tr".split()
+)
+
 _MODES = {
     "initial": TreeBuilder._mode_initial,
     "before-html": TreeBuilder._mode_before_html,
@@ -2325,10 +2602,12 @@ _MODES = {
 }
 
 
-def parse(text: str, collect_errors: bool = True) -> TreeBuilder:
+def parse(
+    text: str, collect_errors: bool = True, use_turbo: bool = True
+) -> TreeBuilder:
     """Parse a complete HTML document. Returns the TreeBuilder (document at
     ``.document``, quirks at ``.quirks``, errors at ``.errors``)."""
-    tb = TreeBuilder(text, collect_errors=collect_errors)
+    tb = TreeBuilder(text, collect_errors=collect_errors, use_turbo=use_turbo)
     tb.run()
     return tb
 

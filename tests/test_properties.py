@@ -284,3 +284,39 @@ def test_fast_tag_path_matches_state_machine(attrs, tail):
             tz.Tokenizer._try_fast_tag = orig
 
     assert toks(False) == toks(True)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(st.sampled_from([
+    "<p>", "</p>", "<b>", "</b>", "<i>", "</i>", "<a href='/x'>", "</a>",
+    "<div>", "</div>", "<span>", "</span>", "<ul>", "<li>", "</li>", "</ul>",
+    "<h2>", "</h2>", "<table>", "<tr>", "<td>", "</td>", "</tr>", "</table>",
+    "<pre>", "</pre>", "<nobr>", "</nobr>", "<em class='q'>", "</em>",
+    "<svg>", "</svg>", "<script>", "</script>", "<br>", "<img src=x>",
+    "<!--c-->", "<!--a--b-->", "<form>", "</form>", "<button>", "</button>",
+    "text ", "&amp;", "&hellip;", "&bogus;", "x&#65;y", " \n", "words here",
+]), max_size=24).map("".join))
+def test_fused_loop_matches_pull_parser(html):
+    """Differential: the fused in-body/in-cell turbo loop must produce the
+    exact tree (html5lib dump) and error multiset of the token-at-a-time
+    pull path."""
+    from sparkhtml.serializer import html5lib_dump
+
+    fused = parse(html, use_turbo=True)
+    pull = parse(html, use_turbo=False)
+    assert html5lib_dump(fused.document) == html5lib_dump(pull.document)
+    assert sorted(fused.errors) == sorted(pull.errors)
+    assert fused.quirks == pull.quirks
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="<>/&;#abcdiv plsERT='\"!-0123456789\0\n", max_size=150))
+def test_fused_loop_matches_pull_parser_char_soup(html):
+    """Same differential over raw character soup (malformed tags, NULs,
+    stray ampersands, half-comments)."""
+    from sparkhtml.serializer import html5lib_dump
+
+    fused = parse(html, use_turbo=True)
+    pull = parse(html, use_turbo=False)
+    assert html5lib_dump(fused.document) == html5lib_dump(pull.document)
+    assert sorted(fused.errors) == sorted(pull.errors)
