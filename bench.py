@@ -44,8 +44,17 @@ def main() -> None:
     interleaved = entry._interleaved(spark, sf_dir)
     interleaved.cache().count()  # isolate parse cost from scan cost
 
-    # q2/q3 inputs
+    # q2/q3 inputs. The two html frames must have DISTINCT plans: Spark's
+    # cache manager matches by logical plan, so if q2 reused the q3 plan it
+    # would be served from q3's cache and time ~0 (r3 regression).
     html_df = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="wrap" data-q="2"><p id="main">'), F.col("text"),
+            F.lit('</p><a href="/l">link</a></div>'),
+        ).alias("html"),
+    )
+    html_df_q3 = docs.select(
         "doc_id",
         F.concat(
             F.lit('<div class="wrap"><p id="main">'), F.col("text"),
@@ -53,7 +62,7 @@ def main() -> None:
         ).alias("html"),
     )
     nodes = parse_nodes_df(html_df)
-    nodes_cached = parse_nodes_df(html_df).cache()
+    nodes_cached = parse_nodes_df(html_df_q3).cache()
     nodes_cached.count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.first()["embedding"]]
@@ -83,11 +92,14 @@ def main() -> None:
     # take the per-query minimum — the BENCH/run_scaling.py protocol.
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     timings: dict[str, float] = {}
-    for _ in range(reps):
+    cold: dict[str, float] = {}
+    for rep in range(reps):
         for name, thunk in queries.items():
             t0 = time.perf_counter()
             thunk()
             dt = time.perf_counter() - t0
+            if rep == 0:
+                cold[name] = round(dt, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
     timings = {k: round(v, 3) for k, v in timings.items()}
@@ -100,6 +112,7 @@ def main() -> None:
                 "value": docs_per_sec,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold_rep1": cold,
                 "sf": sf,
                 "n_docs": n_docs,
                 "cpus": cpus,

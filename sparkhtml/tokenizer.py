@@ -107,25 +107,25 @@ def match_fast_tag(s: str, i: int):
     m = _RE_FAST_TAG.match(s, i)
     if m is None:
         return None
-    attrs_s = m.group(2)
-    if m.group(4) and not m.group(3) and _RE_UNQUOTED_TAIL.search(attrs_s):
+    name, attrs_s, ws, slash = m.group(1, 2, 3, 4)
+    if slash and not ws and _RE_UNQUOTED_TAIL.search(attrs_s):
         # '/' directly after an unquoted value belongs to the value
         return None
     attrs: list[tuple[str, str]] = []
     if attrs_s:
         seen = set()
         for am in _RE_FAST_ATTR.finditer(attrs_s):
-            name = am.group(1)
-            if name in seen:
+            aname = am.group(1)
+            if aname in seen:
                 return None  # dup-attr drops + errors: slow path
-            seen.add(name)
+            seen.add(aname)
             v = am.group(2)
             if v is None:
                 v = am.group(3)
             if v is None:
                 v = am.group(4)
-            attrs.append((name, v if v is not None else ""))
-    return m.group(1), attrs, bool(m.group(4)), m.end()
+            attrs.append((aname, v if v is not None else ""))
+    return name, attrs, bool(slash), m.end()
 
 
 class Tokenizer:

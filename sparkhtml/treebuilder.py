@@ -410,6 +410,38 @@ class TreeBuilder:
         states = tz._STATES
         turbo = self._turbo_in_body
         in_fragment = self.fragment_context is not None or not self.use_turbo
+        # scaffold fast path: a document that opens with plain content
+        # (no doctype / html / head-resident tag) deterministically walks
+        # initial → before-html → before-head → in-head → after-head,
+        # synthesizing <html><head></head><body>. Build that directly and
+        # start in-body — skips 4 modes × reprocess chains per document.
+        if not in_fragment and self.mode == "initial" and tk.i == 0:
+            s = tk.s
+            c0 = s[0] if s else ""
+            scaffold = False
+            if c0 == "<":
+                hit = tz.match_fast_tag(s, 1)
+                scaffold = hit is not None and hit[0] not in _SCAFFOLD_SKIP
+            elif c0 and c0 not in "&\0\t\n\x0c\r ":
+                scaffold = True  # leading non-ws text: same walk
+            if scaffold:
+                self.parse_error("expected-doctype-but-got-something-else")
+                self.quirks = QUIRKS
+                html_el = Node(ELEMENT, "html", NS_HTML)
+                html_el.parent = self.document
+                self.document.children.append(html_el)
+                self.root = html_el
+                head = Node(ELEMENT, "head", NS_HTML)
+                head.parent = html_el
+                html_el.children.append(head)
+                self.head = head
+                body = Node(ELEMENT, "body", NS_HTML)
+                body.parent = html_el
+                html_el.children.append(body)
+                self.open_elements.append(html_el)
+                self.open_elements.append(body)
+                self.frameset_ok = True
+                self.mode = "in-body"
         while not self.done:
             if queue:
                 process(queue.popleft())
@@ -516,7 +548,17 @@ class TreeBuilder:
                     self.frameset_ok = frameset_ok
                     delegate_end(("EndTag", name, [], False))
                 else:
-                    hit = fast_tag(s, i + 1)
+                    m = end_match(s, i + 1)  # attr-less <name> first
+                    if m is not None:
+                        name = m.group(1)
+                        attrs = []
+                        self_closing = False
+                        end = m.end()
+                        hit = True
+                    else:
+                        hit = fast_tag(s, i + 1)
+                        if hit is not None:
+                            name, attrs, self_closing, end = hit
                     if hit is None:
                         if s.startswith("!--", i + 1):
                             j = s.find("-->", i + 4)
@@ -536,7 +578,6 @@ class TreeBuilder:
                                 i = j + 3
                                 continue
                         break  # not turbo-able: per-state machine
-                    name, attrs, self_closing, end = hit
                     # ---- start tag ----
                     tk.last_start_tag = name
                     i = end
@@ -554,7 +595,7 @@ class TreeBuilder:
                             self.parse_error("depth-limit-exceeded")
                         continue
                     if name in fmt_simple or (
-                        name == "a" and not _has_open_a(af)
+                        name == "a" and (not af or not _has_open_a(af))
                     ):
                         # formatting start, no prior same-tag complication:
                         # reconstruct + insert + AFE push (Noah's Ark in
@@ -579,7 +620,10 @@ class TreeBuilder:
                         # in-body P_CLOSERS branch, inlined (valid under
                         # in-cell too: cell megaswitch passes non-table
                         # tags to the in-body rules)
-                        if self._in_scope("p", SCOPE_BUTTON):
+                        top = oe[-1]
+                        if top.tag == "p" and top.ns == NS_HTML:
+                            oe.pop()  # close-p with p current: single pop
+                        elif self._in_scope("p", SCOPE_BUTTON):
                             self._close_p()
                         if name == "menu":
                             cur = oe[-1]
@@ -596,7 +640,10 @@ class TreeBuilder:
                         continue
                     if name in HEADINGS:
                         # in-body heading branch, inlined
-                        if self._in_scope("p", SCOPE_BUTTON):
+                        top = oe[-1]
+                        if top.tag == "p" and top.ns == NS_HTML:
+                            oe.pop()
+                        elif self._in_scope("p", SCOPE_BUTTON):
                             self._close_p()
                         cur = oe[-1]
                         if cur.ns == NS_HTML and cur.tag in HEADINGS:
@@ -2545,6 +2592,14 @@ _IN_BODY_SPECIAL_START = frozenset(
      "head", "tbody", "td", "tfoot", "th", "thead", "tr", "applet",
      "marquee", "object"]
 ) | P_CLOSERS | HEADINGS | FORMATTING
+
+# start tags the scaffold fast path must NOT shortcut past the head modes:
+# html/head/body/frameset restructure the scaffold itself, the rest are
+# head-resident (in-head / after-head intercept them)
+_SCAFFOLD_SKIP = frozenset(
+    "html head body frameset base basefont bgsound link meta title "
+    "noscript noframes style script".split()
+)
 
 # formatting tags the fused loop opens inline: plain reconstruct + insert +
 # AFE push ('a' needs the open-a scan, 'nobr' the nobr-in-scope check)
