@@ -502,6 +502,59 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_features_real(spark, sf_dir):
+    """REAL multimodal decode (fake=False): per doc_id, generate a solid-
+    color PPM, a constant-signal PCM WAV, a solid-color BMP, or a junk
+    'video' payload (doc_id%4), decode with the pure-numpy decoders, and
+    emit closed-form-checkable features — solid color ⇒ channel mean=c,
+    std=0; constant signal ⇒ mean=c, rms=|c|, zcr=0; junk ⇒ the per-row
+    error channel. The DuckDB oracle recomputes every value from doc_id."""
+    import pandas as pd
+
+    from sparkhtml.spark.multimodal import (
+        MEDIA_SCHEMA,
+        make_real_payload,
+        media_features_df,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                kind, mime, payload, dur = make_real_payload(int(i))
+                rows.append(
+                    (f"m-{i}", kind, mime, bytearray(payload), None, None, dur)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "kind", "mime", "payload",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    media = docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    out = media_features_df(media, fake=False)
+
+    def fe(k):
+        return F.round(F.element_at(F.col("feature"), k).cast("double"), 4)
+
+    return out.select(
+        "media_ref",
+        "kind",
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.when(F.col("error").isNull(), F.lit(0)).otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("n_err"),
+        fe(1).alias("f0"),
+        fe(2).alias("f1"),
+        fe(3).alias("f2"),
+        fe(4).alias("f3"),
+    )
+
+
 def _q_size_buckets(spark, sf_dir):
     """Skew layer: log2 size-bucket histogram of the interleaved corpus
     (partitioning.with_size_salt's bucket column; the salt half is
@@ -683,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
+        "media_features_real": _q_media_features_real,
         "stream_extract": _q_stream_extract,
         "top_trigrams": _q_top_trigrams,
         "cosine_pairs_exact": _q_cosine_pairs_exact,
@@ -974,6 +1028,29 @@ def oracle_sql() -> dict[str, str]:
             "greatest(1, ((doc_id % 9 + 1) * 1000) // 1000) "
             "ELSE 1 END::BIGINT AS n_frames, "
             "16::BIGINT AS dim, 0::BIGINT AS n_err FROM documents"
+        ),
+        "media_features_real": (
+            "SELECT 'm-' || doc_id AS media_ref, "
+            "CASE (doc_id % 4) WHEN 1 THEN 'audio' WHEN 3 THEN 'video' "
+            "ELSE 'image' END AS kind, "
+            "CASE WHEN doc_id % 4 = 3 THEN (doc_id % 9 + 1) ELSE 1 "
+            "END::BIGINT AS n_frames, "
+            "CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END::BIGINT AS n_err, "
+            "round(CASE (doc_id % 4) "
+            "WHEN 0 THEN (doc_id % 256) / 255.0 "
+            "WHEN 1 THEN (doc_id % 7 - 3) * 0.25 "
+            "WHEN 2 THEN ((5 * doc_id) % 256) / 255.0 "
+            "ELSE 0.0 END, 4) AS f0, "
+            "round(CASE (doc_id % 4) "
+            "WHEN 0 THEN ((3 * doc_id) % 256) / 255.0 "
+            "WHEN 2 THEN ((11 * doc_id) % 256) / 255.0 "
+            "ELSE 0.0 END, 4) AS f1, "
+            "round(CASE (doc_id % 4) "
+            "WHEN 0 THEN ((7 * doc_id) % 256) / 255.0 "
+            "WHEN 1 THEN abs(doc_id % 7 - 3) * 0.25 "
+            "WHEN 2 THEN ((13 * doc_id) % 256) / 255.0 "
+            "ELSE 0.0 END, 4) AS f2, "
+            "0.0 AS f3 FROM documents"
         ),
         "events_lag": (
             "SELECT event_id, user_id, lag(event_type) OVER "

@@ -5,11 +5,12 @@ by Arrow-batched ``mapInPandas`` stages. The Spark-side plumbing — schema,
 batch shape, partitioning, UDF signatures — is real and tested.
 
 Decode contract: the deterministic fake (``fake=True``, the default) is the
-PERMANENT test/bench contract — SHA-256-derived feature vectors, stable
+stable test/bench contract — SHA-256-derived feature vectors, stable
 across processes and oracle-checkable (frame counts + shapes have an exact
-SQL oracle in ``__spark_entry__``). The real-codec path stays import-gated
-(``fake=False`` raises ``NotImplementedError`` until Pillow/av are present,
-surfaced per-row through the ``error`` column, never a task failure).
+SQL oracle in ``__spark_entry__``). ``fake=False`` decodes for real:
+PPM/PGM, uncompressed BMP and PCM WAV natively in numpy (no dependencies),
+anything else import-gates on Pillow. Decode failures surface per-row
+through the ``error`` column — never a task failure.
 """
 
 from __future__ import annotations
@@ -45,16 +46,176 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_real(payload: bytes, mime: str) -> np.ndarray:  # pragma: no cover
-    """Where a real decoder goes. Kept import-gated so environments with
-    Pillow/av get real decode without code changes."""
+# ---------------------------------------------------------------------------
+# Real decoders — dependency-free formats in pure numpy. Dispatch is by
+# magic bytes (not the mime column: payloads are untrusted). Anything else
+# falls through to an import-gated Pillow hook, surfaced per-row through
+# the error column.
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM/PGM (P6/P5) → (H, W, 3) uint8. Pure numpy."""
+    if not payload.startswith((b"P6", b"P5")):
+        raise ValueError("not a binary PPM/PGM")
+    gray = payload.startswith(b"P5")
+    # header: magic, width, height, maxval — ws-separated, '#' comments
+    pos, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3 and pos < n:
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            nl = payload.find(b"\n", pos)
+            pos = n if nl == -1 else nl + 1
+        else:
+            end = pos
+            while end < n and payload[end] not in b" \t\r\n":
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+    if len(fields) < 3 or pos >= n:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = fields
+    if not (0 < w and 0 < h and 0 < maxval < 65536):
+        raise ValueError("bad PPM dimensions")
+    pos += 1  # single whitespace after maxval
+    ch = 1 if gray else 3
+    need = w * h * ch * (2 if maxval > 255 else 1)
+    raw = payload[pos : pos + need]
+    if len(raw) < need:
+        raise ValueError("truncated PPM pixel data")
+    dt = ">u2" if maxval > 255 else np.uint8
+    arr = np.frombuffer(raw, dtype=dt).reshape(h, w, ch).astype(np.float64)
+    arr = (arr * (255.0 / maxval)).astype(np.uint8)
+    if gray:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP → (H, W, 3) uint8. Pure numpy."""
+    import struct
+
+    if not payload.startswith(b"BM") or len(payload) < 54:
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise ValueError("bad BMP dimensions")
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3  # rows padded to 4 bytes
+    need = stride * h
+    raw = payload[data_off : data_off + need]
+    if len(raw) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    rgb = px[:, :, 2::-1]  # BGR(A) → RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM (8/16-bit) → mono float64 samples in [-1, 1]."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, _rate, _bps, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) & ~1], dtype="<i2"
+        ).astype(np.float64) / 32768.0
+    else:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    if channels > 1:
+        usable = len(samples) - len(samples) % channels
+        samples = samples[:usable].reshape(-1, channels).mean(axis=1)
+    return samples
+
+
+def image_features(arr: np.ndarray, dim: int) -> np.ndarray:
+    """(H, W, 3) uint8 → [meanRGB/255, stdRGB/255, (dim-6) horizontal-band
+    grayscale means]. All float64 math, deterministic."""
+    f = np.zeros(dim, dtype=np.float64)
+    px = arr.astype(np.float64) / 255.0
+    f[0:3] = px.mean(axis=(0, 1))[:3]
+    f[3:6] = px.std(axis=(0, 1))[:3]
+    nb = dim - 6
+    if nb > 0:
+        gray = px.mean(axis=2)
+        bands = np.array_split(gray, min(nb, gray.shape[0]), axis=0)
+        means = [b.mean() for b in bands]
+        f[6 : 6 + len(means)] = means[:nb]
+    return f
+
+
+def audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
+    """float64 samples → [mean, std, rms, zero-cross rate, min, max,
+    (dim-6) block RMS values]."""
+    f = np.zeros(dim, dtype=np.float64)
+    if len(samples) == 0:
+        return f
+    f[0] = samples.mean()
+    f[1] = samples.std()
+    f[2] = np.sqrt(np.mean(samples * samples))
+    f[3] = np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1]))
+    f[4] = samples.min()
+    f[5] = samples.max()
+    nb = dim - 6
+    if nb > 0:
+        blocks = np.array_split(samples, min(nb, len(samples)))
+        f[6 : 6 + len(blocks)] = [np.sqrt(np.mean(b * b)) for b in blocks]
+    return f
+
+
+def _decode_real(payload: bytes, mime: str, dim: int) -> np.ndarray:
+    """Magic-byte dispatch to the numpy decoders; unsupported formats gate
+    on Pillow so richer environments decode without code changes."""
+    p = bytes(payload) if payload is not None else b""
+    if p.startswith((b"P6", b"P5")):
+        return image_features(decode_ppm(p), dim)
+    if p.startswith(b"BM"):
+        return image_features(decode_bmp(p), dim)
+    if p.startswith(b"RIFF"):
+        return audio_features(decode_wav(p), dim)
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
+        import io
+
+        arr = np.asarray(Image.open(io.BytesIO(p)).convert("RGB"))
+        return image_features(arr, dim)
     except ImportError as exc:
         raise NotImplementedError(
-            "media decode requires Pillow/av; not present in this container"
+            f"unsupported media format (mime={mime}); PPM/PGM, BMP and PCM "
+            "WAV decode natively, the rest needs Pillow/av"
         ) from exc
-    raise NotImplementedError("real decode path not wired yet")
 
 
 def _decode_fake(payload: bytes, dim: int = 16) -> np.ndarray:
@@ -109,8 +270,8 @@ def media_features_df(
                             acc += _decode_fake(p + bytes([k % 256]), dim)
                         feats[i] = acc / int(nf)
                     else:
-                        feats[i] = _decode_real(payload, mime)[:dim]
-                except NotImplementedError as exc:
+                        feats[i] = _decode_real(payload, mime, dim)
+                except (NotImplementedError, ValueError) as exc:
                     errors[i] = str(exc)
             yield pd.DataFrame(
                 {
@@ -123,6 +284,50 @@ def media_features_df(
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def make_real_payload(doc_id: int) -> tuple[str, str, bytes, int | None]:
+    """Deterministic real-format payload for ``doc_id``:
+    (kind, mime, payload, duration_ms). doc_id%4 cycles PPM solid-color
+    image, PCM WAV constant signal, BMP solid-color image, and a junk
+    'video' that exercises the per-row error channel. Kept simple enough
+    that the expected features are closed-form in SQL (solid color ⇒
+    mean=c, std=0; constant signal ⇒ rms=|c|, zcr=0) — the DuckDB oracle
+    for media_features_real recomputes them from doc_id alone."""
+    import struct
+
+    m = doc_id % 4
+    if m == 0:  # P6 PPM, 8x8 solid color
+        r, g, b = doc_id % 256, (3 * doc_id) % 256, (7 * doc_id) % 256
+        return (
+            "image", "image/x-portable-pixmap",
+            b"P6\n8 8\n255\n" + bytes([r, g, b]) * 64, None,
+        )
+    if m == 1:  # PCM16 mono WAV, 64 constant samples in {0,±.25,±.5,±.75}
+        v = (doc_id % 7 - 3) * 8192
+        data = struct.pack("<h", v) * 64
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        return "audio", "audio/wav", hdr + data, None
+    if m == 2:  # 24bpp bottom-up BMP, 6x4 solid color
+        r, g, b = (5 * doc_id) % 256, (11 * doc_id) % 256, (13 * doc_id) % 256
+        row = bytes([b, g, r]) * 6 + b"\0\0"  # stride 20, padded to 4
+        px = row * 4
+        hdr = (
+            b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 6, 4, 1, 24, 0, len(px),
+                          2835, 2835, 0, 0)
+        )
+        return "image", "image/bmp", hdr + px, None
+    # m == 3: junk payload under a video mime — decode error expected
+    return (
+        "video", "video/mp4",
+        b"\x00\x00\x00\x18ftypmp42" + bytes([doc_id % 256]) * 16,
+        (doc_id % 9 + 1) * 1000,
+    )
 
 
 def fake_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:

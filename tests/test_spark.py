@@ -357,6 +357,91 @@ def test_multimodal(spark):
     assert all(r.error for r in stub)  # error channel, not task failure
 
 
+def test_multimodal_real_decode(spark):
+    """fake=False decodes PPM/BMP/WAV for real (pure numpy) and matches the
+    closed-form features; junk payloads hit the error channel per-row."""
+    from sparkhtml.spark.multimodal import (
+        MEDIA_SCHEMA, make_real_payload, media_features_df,
+    )
+
+    rows = []
+    for i in range(16):
+        kind, mime, payload, dur = make_real_payload(i)
+        rows.append((f"m-{i}", kind, mime, bytearray(payload), None, None, dur))
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_ref: r for r in media_features_df(media, fake=False).collect()}
+    assert len(out) == 16
+    for i in range(16):
+        r = out[f"m-{i}"]
+        m = i % 4
+        if m == 3:  # junk video: error channel, zero features
+            assert r.error and r.n_frames == i % 9 + 1
+            assert all(v == 0.0 for v in r.feature)
+            continue
+        assert r.error is None and r.n_frames == 1
+        if m == 0:  # solid PPM: channel means = color, std = 0
+            assert abs(r.feature[0] - (i % 256) / 255.0) < 1e-6
+            assert abs(r.feature[1] - (3 * i % 256) / 255.0) < 1e-6
+            assert abs(r.feature[3]) < 1e-6
+        elif m == 1:  # constant WAV: mean = c, std = 0, rms = |c|
+            c = (i % 7 - 3) * 0.25
+            assert abs(r.feature[0] - c) < 1e-6
+            assert abs(r.feature[1]) < 1e-6
+            assert abs(r.feature[2] - abs(c)) < 1e-6
+        else:  # solid BMP
+            assert abs(r.feature[0] - (5 * i % 256) / 255.0) < 1e-6
+            assert abs(r.feature[2] - (13 * i % 256) / 255.0) < 1e-6
+
+
+def test_media_decoders_unit():
+    """Decoder edge coverage: comments in PPM headers, P5 grayscale, 8-bit
+    and stereo WAV, top-down BMP, truncation errors."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkhtml.spark.multimodal import decode_bmp, decode_ppm, decode_wav
+
+    arr = decode_ppm(b"P6 # c\n2 1 255\n" + bytes([1, 2, 3, 4, 5, 6]))
+    assert arr.shape == (1, 2, 3) and (arr[0, 1] == [4, 5, 6]).all()
+    g = decode_ppm(b"P5\n2 2\n255\n" + bytes([0, 128, 255, 64]))
+    assert g.shape == (2, 2, 3) and (g[0, 1] == [128, 128, 128]).all()
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n8 8\n255\n" + b"\x00" * 10)  # truncated pixels
+
+    data8 = bytes([192] * 10)
+    hdr8 = (
+        b"RIFF" + struct.pack("<I", 36 + len(data8)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(data8))
+    )
+    assert abs(decode_wav(hdr8 + data8)[0] - 0.5) < 1e-12
+    st = struct.pack("<hh", 16384, -16384) * 4  # stereo mixdown → 0
+    hdr16 = (
+        b"RIFF" + struct.pack("<I", 36 + len(st)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(st))
+    )
+    assert decode_wav(hdr16 + st).max() == 0.0
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+
+    # top-down BMP (negative height): first pixel row is the top row
+    row0 = bytes([255, 0, 0]) + bytes([0, 255, 0]) + b"\0\0"  # B,G → stride 8
+    row1 = bytes([0, 0, 255]) + bytes([255, 255, 255]) + b"\0\0"
+    px = row0 + row1
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(px),
+                      0, 0, 0, 0)
+    )
+    arr = decode_bmp(hdr + px)
+    assert arr.shape == (2, 2, 3)
+    assert (arr[0, 0] == [0, 0, 255]).all()  # BGR→RGB: blue pixel
+    assert (arr[1, 0] == [255, 0, 0]).all()
+
+
 def test_selector_plan_parity_postop_pseudos(spark):
     """DataFrame-plan coverage for :empty, :not(complex), :link, :checked,
     :enabled/:disabled (fieldset propagation incl. first-legend carve-out)
