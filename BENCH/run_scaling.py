@@ -213,8 +213,20 @@ framework overhead (fork pool, no JVM, no Arrow):
 Reproduce: `python BENCH/run_scaling.py --n {args.n} --sf {args.sf}
 --replicas {args.replicas} --rounds {args.rounds}{' --control' if args.control else ''}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # Append as a dated band section — BASELINE.md accumulates hand-written
+    # evidence (selector bench, spark-submit runs, robustness sweeps) that a
+    # whole-file overwrite would destroy.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    band_header = f"## Scaling band N={args.n} → 4N={args.n * 4} (auto-appended)"
+    section = "\n\n" + band_header + "\n" + md.split("\n", 3)[3]
+    existing = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read()
+    with open(path, "a") as f:
+        f.write(section)
+    print(f"appended '{band_header}' to BENCH/BASELINE.md "
+          f"(was {len(existing)} bytes)")
 
 
 if __name__ == "__main__":

@@ -363,9 +363,65 @@ TOK_CASES: list[tuple[str, str, dict]] = [
 ]
 
 
-def gen_tree() -> str:
+# Fused-loop (turbo) seam cases — every place the fused tokenize+build
+# loop hands control to the per-state machinery or back: the scaffold
+# fast path boundary, table/foreign/rawtext exits and re-entries, the
+# adoption-agency single-pop shortcut, inlined P_CLOSERS/heading starts,
+# the comment fast path's error-shape exclusions, and charrefs consumed
+# in-loop. Goldens hand-reviewed against WHATWG §13.2.6.
+TREE_CASES_TURBO: list[tuple[str, str | None]] = [
+    # ---- scaffold fast path boundary
+    ("leading text then <b>tag</b>", None),
+    ("<span>first tag is scaffold-safe</span>", None),
+    ("<link rel=x>not scaffolded: head-resident first", None),
+    ("<noscript>ns</noscript>after", None),
+    ("  <p>ws prefix takes the slow walk</p>", None),
+    ("&#65;charref first", None),
+    # ---- turbo ↔ table-machinery transitions
+    ("<p>a<table><tr><td>b</td></tr></table>c", None),
+    ("<table><tr><td>a<span>b</span><p>c</td></tr></table>", None),
+    ("<table><tr><td>a<table><tr><td>b</td></tr></table>c</td></tr></table>", None),
+    ("<table><tr><td><b>x</td><td>y</b></td></tr></table>", None),
+    ("x<table>y<tr><td>z</table>w", None),
+    # ---- turbo ↔ rawtext / foreign / pre
+    ("<p>x<script>var q=1</script>y</p>", None),
+    ("<div>a<svg><circle r=1 /></svg>b</div>", None),
+    ("<p>t</p><pre>\nkeeps-second\nline</pre>y", None),
+    ("<div>a<textarea>\nb</textarea>c</div>", None),
+    # ---- formatting fast paths (AA single-pop shortcut + AFE push)
+    ("<b>a<i>b</i>c</b>d", None),
+    ('<a href="/1">one</a> <a href="/2">two</a>', None),
+    ("<a>1<a>2</a>3", None),
+    ("<b><b>x</b>y</b>z", None),
+    ("<nobr>a<nobr>b", None),
+    ("<p><b>x</p><b>y", None),
+    ("<li><b>x<li>y</li>z", None),
+    ("<em class='q'>e1</em><em class='q'>e2</em>", None),
+    # ---- end-tag single-pop seams (implied end tags at the boundary)
+    ("<div><p>x</div>y", None),
+    ("<ul><li>a<li>b</ul>c", None),
+    ("<p>a<h2>b</h2>c", None),
+    ("<h2>a<h3>b</h3>", None),
+    ("<button><p>x</button>y", None),
+    ("<div><span>a</div></span>b", None),
+    # ---- comment fast path error-shape exclusions
+    ("a<!--plain-->b", None),
+    ("a<!--c--d-->b", None),
+    ("a<!--c--!>b", None),
+    ("a<!--x<!-- y-->b", None),
+    ("a<!---->b", None),
+    ("a<!--->b", None),
+    ("a<!-->b", None),
+    ("a<!--tail", None),
+    # ---- charrefs consumed inside the fused loop
+    ("a&amp;b&bogus;c&#x41;d&notit;e", None),
+    ("<p>x&amp;</p><p>&hellip;y</p>", None),
+]
+
+
+def gen_tree(cases=None) -> str:
     out = []
-    for data, frag in TREE_CASES:
+    for data, frag in (cases if cases is not None else TREE_CASES):
         if frag is not None:
             nodes, _errs = parse_fragment_nodes(data, frag)
             dump = dump_fragment(nodes)
@@ -427,4 +483,9 @@ def gen_tok() -> str:
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "tree"
-    sys.stdout.write(gen_tree() if mode == "tree" else gen_tok())
+    if mode == "tree":
+        sys.stdout.write(gen_tree())
+    elif mode == "tree-turbo":
+        sys.stdout.write(gen_tree(TREE_CASES_TURBO))
+    else:
+        sys.stdout.write(gen_tok())
