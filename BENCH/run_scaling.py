@@ -30,6 +30,7 @@ from sparkhtml.spark.pipeline import extract_spans_df
 import __spark_entry__ as entry
 
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicas = int(sys.argv[3])
+doc_scale = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 spark = get_spark(
     app_name="scaling-%%d" %% cpus, cpus=cpus,
     # wave-tail killers: no locality stall between tasks, and enough
@@ -39,14 +40,23 @@ spark = get_spark(
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 rep = spark.range(replicas).select(F.col("id").alias("rep"))
+# doc_scale > 1 repeats the body to web-page-sized documents: the sf
+# corpus averages ~360 chars/doc, ~20x below a real page, which makes
+# framework-per-row costs look 20x worse than they are at 100 TB
+body = F.concat(
+    F.lit('<h2>Sec</h2><p>'), F.col("text"),
+    F.lit('</p><ul><li>one item here<li>two items here</ul>'),
+)
+if doc_scale > 1:
+    body = F.concat_ws("", F.array_repeat(body, doc_scale))
 corpus = (
     docs.crossJoin(rep)
     .select(
         F.concat(F.col("doc_id").cast("string"), F.lit("-"), F.col("rep")).alias("doc_id"),
         F.concat(
-            F.lit('<nav><a href="/">home</a> <a href="/x">x</a></nav><h2>Sec</h2><p>'),
-            F.col("text"),
-            F.lit('</p><ul><li>one item here<li>two items here</ul><footer>foot</footer>'),
+            F.lit('<nav><a href="/">home</a> <a href="/x">x</a></nav>'),
+            body,
+            F.lit('<footer>foot</footer>'),
         ).alias("text"),
     )
 )
@@ -101,12 +111,14 @@ def _work(args):
 
 if __name__ == "__main__":
     cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicas = int(sys.argv[3])
+    doc_scale = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     import pyarrow.parquet as pq
     base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
     texts = [
-        '<nav><a href="/">home</a> <a href="/x">x</a></nav><h2>Sec</h2><p>'
-        + t + '</p><ul><li>one item here<li>two items here</ul>'
-        '<footer>foot</footer>'
+        '<nav><a href="/">home</a> <a href="/x">x</a></nav>'
+        + ('<h2>Sec</h2><p>' + t
+           + '</p><ul><li>one item here<li>two items here</ul>') * doc_scale
+        + '<footer>foot</footer>'
         for t in base.column("text").to_pylist()
     ] * replicas
     chunks = [(texts[i::cpus * 4],) for i in range(cpus * 4)]
@@ -123,10 +135,11 @@ if __name__ == "__main__":
 """ % {"repo": REPO}
 
 
-def run(cpus: int, sf_dir: str, replicas: int, control: bool = False) -> dict:
+def run(cpus: int, sf_dir: str, replicas: int, control: bool = False,
+        doc_scale: int = 1) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CONTROL if control else WORKER,
-         str(cpus), sf_dir, str(replicas)],
+         str(cpus), sf_dir, str(replicas), str(doc_scale)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -148,16 +161,24 @@ def main() -> None:
                     help="also measure the hardware control (same work, "
                          "raw multiprocessing) at N and 4N")
     ap.add_argument("--control-replicas", type=int, default=None)
+    ap.add_argument("--doc-scale", type=int, default=1,
+                    help="repeat each document body this many times — the "
+                         "sf corpus is ~360 chars/doc, ~20x below a real "
+                         "page, which inflates framework-per-row costs")
     args = ap.parse_args()
 
     lows, highs, clows, chighs = [], [], [], []
     crep = args.control_replicas or max(1, args.replicas // 4)
     for _ in range(args.rounds):
-        lows.append(run(args.n, args.sf, args.replicas))
-        highs.append(run(args.n * 4, args.sf, args.replicas))
+        lows.append(run(args.n, args.sf, args.replicas,
+                        doc_scale=args.doc_scale))
+        highs.append(run(args.n * 4, args.sf, args.replicas,
+                         doc_scale=args.doc_scale))
         if args.control:
-            clows.append(run(args.n, args.sf, crep, control=True))
-            chighs.append(run(args.n * 4, args.sf, crep, control=True))
+            clows.append(run(args.n, args.sf, crep, control=True,
+                             doc_scale=args.doc_scale))
+            chighs.append(run(args.n * 4, args.sf, crep, control=True,
+                              doc_scale=args.doc_scale))
     lo = max(lows, key=lambda r: r["docs_per_sec"])
     hi = max(highs, key=lambda r: r["docs_per_sec"])
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
@@ -211,13 +232,19 @@ framework overhead (fork pool, no JVM, no Arrow):
 """
     md += f"""
 Reproduce: `python BENCH/run_scaling.py --n {args.n} --sf {args.sf}
---replicas {args.replicas} --rounds {args.rounds}{' --control' if args.control else ''}`
+--replicas {args.replicas} --rounds {args.rounds}\
+{' --control' if args.control else ''}\
+{f' --doc-scale {args.doc_scale}' if args.doc_scale != 1 else ''}`
 """
     # Append as a dated band section — BASELINE.md accumulates hand-written
     # evidence (selector bench, spark-submit runs, robustness sweeps) that a
     # whole-file overwrite would destroy.
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    band_header = f"## Scaling band N={args.n} → 4N={args.n * 4} (auto-appended)"
+    band_header = (
+        f"## Scaling band N={args.n} → 4N={args.n * 4}"
+        + (f", doc-scale {args.doc_scale}" if args.doc_scale != 1 else "")
+        + " (auto-appended)"
+    )
     section = "\n\n" + band_header + "\n" + md.split("\n", 3)[3]
     existing = ""
     if os.path.exists(path):

@@ -409,6 +409,16 @@ class TreeBuilder:
         queue = tk._queue
         states = tz._STATES
         turbo = self._turbo_in_body
+        # The fused loop is valid for document parses AND for fragments
+        # with an HTML-namespace context: the fragment-specific adjusted-
+        # current-node override (process_token, len(oe)==1) only changes
+        # dispatch for foreign contexts, and the synthetic 'html' root is
+        # protected by the fused loop's len(oe)>1 pop guard. Foreign
+        # (svg/math) contexts keep the pull path.
+        turbo_off = not self.use_turbo or (
+            self.fragment_context is not None
+            and self.fragment_context[0] != NS_HTML
+        )
         in_fragment = self.fragment_context is not None or not self.use_turbo
         # scaffold fast path: a document that opens with plain content
         # (no doctype / html / head-resident tag) deterministically walks
@@ -450,7 +460,7 @@ class TreeBuilder:
             # is in the steady state (DATA tokenizer state, in-body or
             # in-cell mode, HTML current node, no LF-skip / foster parent)
             if (
-                not in_fragment
+                not turbo_off
                 and tk.state == "data"
                 and (
                     self.mode == "in-body"
@@ -2671,7 +2681,8 @@ _FRAGMENT_NS = {"svg": NS_SVG, "math": NS_MATHML}
 
 
 def parse_fragment(
-    text: str, context: str = "body", collect_errors: bool = True
+    text: str, context: str = "body", collect_errors: bool = True,
+    use_turbo: bool = True,
 ) -> list[Node]:
     """Fragment parsing algorithm (HTMLParser.m:71-150).
 
@@ -2684,7 +2695,7 @@ def parse_fragment(
         prefix, tag = context.split(" ", 1)
         ns = _FRAGMENT_NS.get(prefix, NS_HTML)
     tb = TreeBuilder(text, fragment_context=(ns, tag),
-                     collect_errors=collect_errors)
+                     collect_errors=collect_errors, use_turbo=use_turbo)
     tb.run()
     children = tb.fragment_children()
     for child in children:

@@ -320,3 +320,25 @@ def test_fused_loop_matches_pull_parser_char_soup(html):
     pull = parse(html, use_turbo=False)
     assert html5lib_dump(fused.document) == html5lib_dump(pull.document)
     assert sorted(fused.errors) == sorted(pull.errors)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.sampled_from([
+        "<p>", "</p>", "<b>", "</b>", "<a href='/x'>", "</a>", "<div>",
+        "</div>", "<ul>", "<li>", "</li>", "</ul>", "<h2>", "</h2>",
+        "<table>", "<tr>", "<td>", "</td>", "</table>", "<pre>", "</pre>",
+        "<svg>", "</svg>", "<script>", "</script>", "<!--c-->", "text ",
+        "&amp;", "&#65;", "</body>", "</html>", "<span>", "</span>",
+    ]), max_size=16).map("".join),
+    st.sampled_from(["body", "div", "td", "table", "a", "form", "p"]),
+)
+def test_fused_loop_matches_pull_parser_fragments(html, context):
+    """Differential over FRAGMENT parsing (the extraction hot path): the
+    fused loop must match the pull path for HTML-namespace contexts."""
+    from sparkhtml.serializer import dump_fragment
+    from sparkhtml.treebuilder import parse_fragment
+
+    fused = parse_fragment(html, context, use_turbo=True)
+    pull = parse_fragment(html, context, use_turbo=False)
+    assert dump_fragment(fused) == dump_fragment(pull)
