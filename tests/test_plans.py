@@ -185,3 +185,14 @@ def test_cosine_neardup_norms_precomputed(spark):
     join_at = next(i for i, ln in enumerate(lines) if "Join" in ln)
     above = "\n".join(lines[:join_at])
     assert above.count("aggregate(") == 1, above
+
+
+def test_media_real_decode_plan_zero_shuffle(spark):
+    """media_features_real is scan → generate-payloads (mapInPandas) →
+    decode (mapInPandas): two Python crossings, no shuffle — the shape
+    that stays scan-local on 1000 executors."""
+    import __spark_entry__ as entry
+
+    p = plan(entry._q_media_features_real(spark, SF))
+    assert p.lower().count("mapinpandas") >= 2
+    assert "Exchange" not in p
