@@ -1050,7 +1050,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 1 THEN abs(doc_id % 7 - 3) * 0.25 "
             "WHEN 2 THEN ((13 * doc_id) % 256) / 255.0 "
             "ELSE 0.0 END, 4) AS f2, "
-            "0.0 AS f3 FROM documents"
+            "0.0::DOUBLE AS f3 FROM documents"
         ),
         "events_lag": (
             "SELECT event_id, user_id, lag(event_type) OVER "
