@@ -446,6 +446,71 @@ def _q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (training-data redaction): deterministic emails and
+    phone numbers are seeded onto every third document, detected and
+    redacted by JVM regexp expressions (sparkhtml.spark.scrub — pure
+    whole-stage-codegen, no Python). The DuckDB oracle reruns the same
+    portable regexes; the scrubbed text is compared by md5."""
+    from sparkhtml.spark.scrub import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = scrub_pii(seeded)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+def _q_repetition_features(spark, sf_dir):
+    """Gopher-style repetition quality signals (distinct-word ratio,
+    top-word share) via explode + two-level aggregate — map-side partial
+    aggregation on (doc, word), one shuffle."""
+    from sparkhtml.spark.textstats import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        # raw doubles: both engines divide the same exact integers, so the
+        # results are bit-identical — rounding would only add tie risk
+        F.col("distinct_ratio").alias("distinct_ratio"),
+        F.col("top_word_share").alias("top_word_share"),
+    )
+
+
+def _q_dup_coverage(spark, sf_dir):
+    """Cross-document duplicate coverage: fraction of each doc's 5-gram
+    shingles that occur in ≥1 other document (the span-level dedup
+    decision signal). Explode → per-doc distinct → global shingle count →
+    join back; shingle keys hashable for byte-bounded shuffles at scale."""
+    from sparkhtml.spark.textstats import dup_shingle_coverage
+
+    return dup_shingle_coverage(_docs(spark, sf_dir), n=5).select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_dup").cast("bigint").alias("n_dup"),
+        F.col("dup_coverage").alias("dup_coverage"),
+    )
+
+
 def _q_stream_extract(spark, sf_dir):
     """Structured Streaming extraction (AvailableNow drain) must equal the
     batch result exactly — so the BATCH oracle (extract_text's SQL) checks
@@ -737,6 +802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
         "media_features_real": _q_media_features_real,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_features": _q_repetition_features,
+        "dup_coverage": _q_dup_coverage,
         "stream_extract": _q_stream_extract,
         "top_trigrams": _q_top_trigrams,
         "cosine_pairs_exact": _q_cosine_pairs_exact,
@@ -1051,6 +1119,53 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 2 THEN ((13 * doc_id) % 256) / 255.0 "
             "ELSE 0.0 END, 4) AS f2, "
             "0.0::DOUBLE AS f3 FROM documents"
+        ),
+        "pii_scrub": (
+            "WITH seeded AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+            "text || ' contact user' || doc_id || '@example.com or +1-555-'"
+            " || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE text END AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "length(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT "
+            "AS n_emails, "
+            "length(regexp_extract_all(t, "
+            "'\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones, "
+            "md5(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', "
+            "'g'), '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) "
+            "AS scrub_md5 FROM seeded"
+        ),
+        "repetition_features": (
+            "WITH words AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS w "
+            "FROM documents), "
+            "pw AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, sum(c)::BIGINT AS n_words, "
+            "count(*)::BIGINT AS n_distinct, "
+            "(count(*)::DOUBLE / sum(c)) AS distinct_ratio, "
+            "(max(c)::DOUBLE / sum(c)) AS top_word_share FROM pw GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words, "
+            "coalesce(a.n_distinct, 0)::BIGINT AS n_distinct, "
+            "a.distinct_ratio, a.top_word_share "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "dup_coverage": (
+            "WITH words AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(list_slice(w, i, i + 4), ' ') AS s "
+            "FROM words, LATERAL unnest(generate_series(1, len(w) - 4)) "
+            "AS t(i) WHERE len(w) >= 5), "
+            "gc AS (SELECT s, count(*) AS docs FROM sh GROUP BY s), "
+            "agg AS (SELECT sh.doc_id, count(*) AS n_shingles, "
+            "sum(CASE WHEN gc.docs > 1 THEN 1 ELSE 0 END) AS n_dup "
+            "FROM sh JOIN gc USING (s) GROUP BY sh.doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_shingles, 0)::BIGINT AS n_shingles, "
+            "coalesce(a.n_dup, 0)::BIGINT AS n_dup, "
+            "(a.n_dup::DOUBLE / a.n_shingles) AS dup_coverage "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "events_lag": (
             "SELECT event_id, user_id, lag(event_type) OVER "

@@ -126,3 +126,98 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     whitespace-normalized text (xxhash64 — stable, distributed, cheap)."""
     norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
     return df.withColumn("fingerprint", F.xxhash64(F.trim(norm)))
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``n_words`` — whitespace token count
+    - ``n_distinct`` — distinct words
+    - ``distinct_ratio`` — n_distinct / n_words (low ⇒ repetitive)
+    - ``top_word_share`` — most-frequent-word count / n_words
+
+    Shape: explode words → two-level aggregate with map-side partial
+    aggregation on (doc, word); one shuffle keyed by doc_id, no window.
+    Docs with no words get (0, 0, null, null).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(col)), r"\s+"),
+                     lambda t: F.length(t) > 0)
+        ).alias("_w"),
+    )
+    per_word = words.groupBy(id_col, "_w").agg(F.count("*").alias("_c"))
+    feats = per_word.groupBy(id_col).agg(
+        F.sum("_c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("_c").alias("_top"),
+    )
+    out = feats.select(
+        id_col,
+        "n_words",
+        "n_distinct",
+        (F.col("n_distinct") / F.col("n_words")).alias("distinct_ratio"),
+        (F.col("_top") / F.col("n_words")).alias("top_word_share"),
+    )
+    empty = df.join(out, id_col, "left_anti").select(
+        F.col(id_col),
+        F.lit(0).cast("bigint").alias("n_words"),
+        F.lit(0).cast("bigint").alias("n_distinct"),
+        F.lit(None).cast("double").alias("distinct_ratio"),
+        F.lit(None).cast("double").alias("top_word_share"),
+    )
+    return out.unionByName(empty)
+
+
+def dup_shingle_coverage(
+    df: DataFrame, n: int = 5, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Cross-document duplicate coverage: the fraction of a document's
+    word ``n``-gram shingles that also occur in at least one OTHER
+    document (the C4/Gopher 'how much of this text exists elsewhere'
+    signal that drives span-level dedup decisions).
+
+    Plan: explode shingles → distinct per (doc, shingle) → global count
+    per shingle (map-side combine) → join back → per-doc fraction. Two
+    shuffles (shingle key, then doc key); shingle keys are xxhash64-able
+    for byte-bounded exchange at corpus scale. Documents with fewer than
+    ``n`` words report null coverage.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(col)), r"\s+"),
+                 lambda t: F.length(t) > 0).alias("_w"),
+    )
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — short docs must
+    # yield an empty shingle array, not two bogus positions
+    idx = F.when(
+        F.size("_w") >= n, F.sequence(F.lit(1), F.size("_w") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = words.select(
+        id_col,
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_w", i, n)))
+        ).alias("_s"),
+    ).distinct()  # one vote per (doc, shingle)
+    global_counts = shingles.groupBy("_s").agg(F.count("*").alias("_docs"))
+    joined = shingles.join(global_counts, "_s")
+    cov = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("_docs") > 1, 1).otherwise(0)).alias("n_dup"),
+    )
+    out = cov.select(
+        id_col,
+        "n_shingles",
+        "n_dup",
+        (F.col("n_dup") / F.col("n_shingles")).alias("dup_coverage"),
+    )
+    empty = df.join(out, id_col, "left_anti").select(
+        F.col(id_col),
+        F.lit(0).cast("bigint").alias("n_shingles"),
+        F.lit(0).cast("bigint").alias("n_dup"),
+        F.lit(None).cast("double").alias("dup_coverage"),
+    )
+    return out.unionByName(empty)

@@ -550,3 +550,65 @@ def test_selector_plan_nth_arithmetic_parity(spark):
         exp = sorted(py_select(dom, sel))
         assert got == exp, (sel, got, exp)
     nodes.unpersist()
+
+
+def test_pii_scrub(spark):
+    from sparkhtml.spark.scrub import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            ("a", "mail me at jo.doe+x@sub.example.co.uk today"),
+            ("b", "call +1-555-0199 or +44-202-9999 now"),
+            ("c", "no pii here at all"),
+            ("d", "two mails x@y.io and z@w.ai plus +1-555-1234"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert rows["a"].n_emails == 1 and "[EMAIL]" in rows["a"].text_scrubbed
+    assert "jo.doe" not in rows["a"].text_scrubbed
+    assert rows["b"].n_phones == 2 and rows["b"].text_scrubbed.count("[PHONE]") == 2
+    assert rows["c"].n_emails == 0 and rows["c"].text_scrubbed == "no pii here at all"
+    assert rows["d"].n_emails == 2 and rows["d"].n_phones == 1
+
+
+def test_repetition_features(spark):
+    from sparkhtml.spark.textstats import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x x x"),           # fully repetitive
+            ("b", "p q r s"),           # fully distinct
+            ("c", ""),                  # empty
+            ("d", "a a b"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert rows["a"].n_words == 4 and rows["a"].n_distinct == 1
+    assert rows["a"].top_word_share == 1.0 and rows["a"].distinct_ratio == 0.25
+    assert rows["b"].distinct_ratio == 1.0 and rows["b"].top_word_share == 0.25
+    assert rows["c"].n_words == 0 and rows["c"].distinct_ratio is None
+    assert abs(rows["d"].top_word_share - 2 / 3) < 1e-12
+
+
+def test_dup_shingle_coverage(spark):
+    from sparkhtml.spark.textstats import dup_shingle_coverage
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            ("a", shared + " alpha beta gamma delta eps"),
+            ("b", shared + " zeta eta theta iota kappa"),
+            ("c", "wholly unique words without any overlap here"),
+            ("d", "shrt"),  # < n words → null coverage
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dup_shingle_coverage(df, n=5).collect()}
+    # docs a and b share exactly the 1 shingle "one two three four five"
+    assert rows["a"].n_shingles == 6 and rows["a"].n_dup == 1
+    assert rows["b"].n_dup == 1
+    assert abs(rows["a"].dup_coverage - 1 / 6) < 1e-12
+    assert rows["c"].n_dup == 0 and rows["c"].dup_coverage == 0.0
+    assert rows["d"].n_shingles == 0 and rows["d"].dup_coverage is None
