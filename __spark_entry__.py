@@ -511,6 +511,23 @@ def _q_dup_coverage(spark, sf_dir):
     )
 
 
+def _q_contamination(spark, sf_dir):
+    """Eval-set decontamination: every 97th document plays the benchmark
+    corpus; each training doc reports the fraction of its 5-gram shingles
+    found anywhere in the benchmark (broadcast join — the bench side is
+    small by construction, as real eval suites are)."""
+    from sparkhtml.spark.textstats import benchmark_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return benchmark_contamination(docs, bench, n=5).select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        F.col("contamination").alias("contamination"),
+    )
+
+
 def _q_stream_extract(spark, sf_dir):
     """Structured Streaming extraction (AvailableNow drain) must equal the
     batch result exactly — so the BATCH oracle (extract_text's SQL) checks
@@ -803,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_features_real": _q_media_features_real,
         "pii_scrub": _q_pii_scrub,
+        "contamination": _q_contamination,
         "repetition_features": _q_repetition_features,
         "dup_coverage": _q_dup_coverage,
         "stream_extract": _q_stream_extract,
@@ -1148,6 +1166,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words, "
             "coalesce(a.n_distinct, 0)::BIGINT AS n_distinct, "
             "a.distinct_ratio, a.top_word_share "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "contamination": (
+            "WITH words AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(list_slice(w, i, i + 4), ' ') AS s "
+            "FROM words, LATERAL unnest(generate_series(1, len(w) - 4)) "
+            "AS t(i) WHERE len(w) >= 5), "
+            "bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), "
+            "agg AS (SELECT sh.doc_id, count(*) AS n_shingles, "
+            "sum(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END) AS n_cont "
+            "FROM sh LEFT JOIN bs ON sh.s = bs.s GROUP BY sh.doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_shingles, 0)::BIGINT AS n_shingles, "
+            "coalesce(a.n_cont, 0)::BIGINT AS n_contaminated, "
+            "(a.n_cont::DOUBLE / a.n_shingles) AS contamination "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "dup_coverage": (

@@ -172,6 +172,68 @@ def repetition_features(
     return out.unionByName(empty)
 
 
+def benchmark_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Eval-set decontamination signal: the fraction of each training
+    document's word ``n``-gram shingles that appear anywhere in the
+    benchmark corpus ``bench`` (same text column). Standard pre-training
+    hygiene — documents above a contamination threshold are dropped or
+    span-scrubbed before training.
+
+    Plan: the benchmark's distinct shingles are a SMALL relation →
+    ``F.broadcast`` left join against the training side's exploded
+    shingles; no shuffle of the big side beyond the per-doc re-aggregate.
+    At 100 TB the bench set stays broadcastable (eval suites are MBs).
+    """
+    def shingle_rows(frame: DataFrame, out: str, with_id: bool):
+        words = frame.select(
+            *( [F.col(id_col)] if with_id else [] ),
+            F.filter(F.split(F.lower(F.col(col)), r"\s+"),
+                     lambda t: F.length(t) > 0).alias("_w"),
+        )
+        idx = F.when(
+            F.size("_w") >= n, F.sequence(F.lit(1), F.size("_w") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return words.select(
+            *( [F.col(id_col)] if with_id else [] ),
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_w", i, n)))
+            ).alias(out),
+        )
+
+    bench_sh = (
+        shingle_rows(bench, "_bs", with_id=False)
+        .distinct()
+        .select("_bs", F.lit(1).alias("_hit"))
+    )
+    doc_sh = shingle_rows(df, "_s", with_id=True).distinct()
+    joined = doc_sh.join(
+        F.broadcast(bench_sh), F.col("_s") == F.col("_bs"), "left"
+    )
+    cov = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+    )
+    out = cov.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
+    )
+    empty = df.join(out, id_col, "left_anti").select(
+        F.col(id_col),
+        F.lit(0).cast("bigint").alias("n_shingles"),
+        F.lit(0).cast("bigint").alias("n_contaminated"),
+        F.lit(None).cast("double").alias("contamination"),
+    )
+    return out.unionByName(empty)
+
+
 def dup_shingle_coverage(
     df: DataFrame, n: int = 5, id_col: str = "doc_id", col: str = "text"
 ) -> DataFrame:

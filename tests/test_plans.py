@@ -196,3 +196,12 @@ def test_media_real_decode_plan_zero_shuffle(spark):
     p = plan(entry._q_media_features_real(spark, SF))
     assert p.lower().count("mapinpandas") >= 2
     assert "Exchange" not in p
+
+
+def test_contamination_broadcasts_bench_side(spark):
+    """Decontamination joins the training shingles against a BROADCAST of
+    the benchmark shingle set — no shuffle of the big side for the probe."""
+    import __spark_entry__ as entry
+
+    p = plan(entry._q_contamination(spark, SF))
+    assert "BroadcastHashJoin" in p

@@ -612,3 +612,25 @@ def test_dup_shingle_coverage(spark):
     assert abs(rows["a"].dup_coverage - 1 / 6) < 1e-12
     assert rows["c"].n_dup == 0 and rows["c"].dup_coverage == 0.0
     assert rows["d"].n_shingles == 0 and rows["d"].dup_coverage is None
+
+
+def test_benchmark_contamination(spark):
+    from sparkhtml.spark.textstats import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [("e1", "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta epsilon tail words here"),  # overlap
+            ("b", "totally clean document with no benchmark overlap at all"),
+            ("c", "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in benchmark_contamination(df, bench, n=5).collect()}
+    # doc a: shingles at positions 1..4; position 1 = the bench's first 5-gram
+    assert rows["a"].n_shingles == 4 and rows["a"].n_contaminated == 1
+    assert abs(rows["a"].contamination - 0.25) < 1e-12
+    assert rows["b"].n_contaminated == 0 and rows["b"].contamination == 0.0
+    assert rows["c"].n_shingles == 0 and rows["c"].contamination is None
