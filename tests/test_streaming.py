@@ -100,3 +100,40 @@ def test_stream_dedup_exact(spark, tmp_path):
         r.doc_id for r in spark.sql("select doc_id from dedupe").collect()
     )
     assert len(kept) == 2 and 3 in kept
+
+
+def test_stream_pii_scrub_matches_batch(spark, tmp_path):
+    """scrub_pii is stateless column algebra, so it applies unchanged to a
+    readStream and must agree with the batch result exactly."""
+    from sparkhtml.spark.scrub import scrub_pii
+
+    in_dir = str(tmp_path / "pii_in")
+    out_dir = str(tmp_path / "pii_out")
+    ckpt = str(tmp_path / "pii_ckpt")
+    rows = [
+        ("a", "reach me at first.last@mail.example.org now"),
+        ("b", "call +1-555-0101 then +1-555-0102"),
+        ("c", "nothing sensitive in this one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id string, text string").parquet(in_dir)
+    q = (
+        scrub_pii(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    batch = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k].text_scrubbed == batch[k].text_scrubbed
+        assert got[k].n_emails == batch[k].n_emails
+        assert got[k].n_phones == batch[k].n_phones
+    assert "[EMAIL]" in got["a"].text_scrubbed
+    assert got["b"].n_phones == 2
