@@ -528,6 +528,39 @@ def _q_contamination(spark, sf_dir):
     )
 
 
+def _q_training_filter(spark, sf_dir):
+    """Composite training-data gate: joins the repetition, duplicate-
+    coverage and contamination signals and emits keep/drop plus the first
+    failing reason (fixed gate order: too_few_words → repetitive →
+    duplicated → contaminated). The shape a real corpus-curation job
+    materializes before the drop."""
+    rep = _q_repetition_features(spark, sf_dir)
+    cov = _q_dup_coverage(spark, sf_dir).select("doc_id", "dup_coverage")
+    con = _q_contamination(spark, sf_dir).select("doc_id", "contamination")
+    j = rep.join(cov, "doc_id").join(con, "doc_id")
+    dupc = F.coalesce(F.col("dup_coverage"), F.lit(0.0))
+    cont = F.coalesce(F.col("contamination"), F.lit(0.0))
+    keep = (
+        (F.col("n_words") >= 10)
+        & (F.col("distinct_ratio") >= 0.35)
+        & (dupc <= 0.5)
+        & (cont <= 0.2)
+    )
+    reason = (
+        F.when(F.col("n_words") < 10, F.lit("too_few_words"))
+        .when(F.col("distinct_ratio") < 0.35, F.lit("repetitive"))
+        .when(dupc > 0.5, F.lit("duplicated"))
+        .when(cont > 0.2, F.lit("contaminated"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
 def _q_stream_extract(spark, sf_dir):
     """Structured Streaming extraction (AvailableNow drain) must equal the
     batch result exactly — so the BATCH oracle (extract_text's SQL) checks
@@ -821,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_real": _q_media_features_real,
         "pii_scrub": _q_pii_scrub,
         "contamination": _q_contamination,
+        "training_filter": _q_training_filter,
         "repetition_features": _q_repetition_features,
         "dup_coverage": _q_dup_coverage,
         "stream_extract": _q_stream_extract,
@@ -1184,6 +1218,42 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.n_cont, 0)::BIGINT AS n_contaminated, "
             "(a.n_cont::DOUBLE / a.n_shingles) AS contamination "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "training_filter": (
+            "WITH words AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w "
+            "FROM documents), "
+            "pw AS (SELECT doc_id, unnest(w) AS uw FROM words), "
+            "pwc AS (SELECT doc_id, uw, count(*) AS c FROM pw GROUP BY 1, 2), "
+            "rep AS (SELECT doc_id, sum(c) AS n_words, "
+            "(count(*)::DOUBLE / sum(c)) AS distinct_ratio FROM pwc "
+            "GROUP BY doc_id), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(list_slice(w, i, i + 4), ' ') AS s "
+            "FROM words, LATERAL unnest(generate_series(1, len(w) - 4)) "
+            "AS t(i) WHERE len(w) >= 5), "
+            "gc AS (SELECT s, count(*) AS docs FROM sh GROUP BY s), "
+            "cov AS (SELECT sh.doc_id, "
+            "(sum(CASE WHEN gc.docs > 1 THEN 1 ELSE 0 END)::DOUBLE / "
+            "count(*)) AS dup_coverage FROM sh JOIN gc USING (s) "
+            "GROUP BY sh.doc_id), "
+            "bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), "
+            "con AS (SELECT sh.doc_id, "
+            "(sum(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / "
+            "count(*)) AS contamination FROM sh LEFT JOIN bs ON sh.s = bs.s "
+            "GROUP BY sh.doc_id) "
+            "SELECT d.doc_id, coalesce(r.n_words, 0)::BIGINT AS n_words, "
+            "(coalesce(r.n_words, 0) >= 10 AND r.distinct_ratio >= 0.35 AND "
+            "coalesce(c.dup_coverage, 0) <= 0.5 AND "
+            "coalesce(k.contamination, 0) <= 0.2) AS keep, "
+            "CASE WHEN coalesce(r.n_words, 0) < 10 THEN 'too_few_words' "
+            "WHEN r.distinct_ratio < 0.35 THEN 'repetitive' "
+            "WHEN coalesce(c.dup_coverage, 0) > 0.5 THEN 'duplicated' "
+            "WHEN coalesce(k.contamination, 0) > 0.2 THEN 'contaminated' "
+            "ELSE NULL END AS drop_reason "
+            "FROM documents d LEFT JOIN rep r USING (doc_id) "
+            "LEFT JOIN cov c USING (doc_id) "
+            "LEFT JOIN con k USING (doc_id)"
         ),
         "dup_coverage": (
             "WITH words AS (SELECT doc_id, list_filter("

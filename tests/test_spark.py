@@ -634,3 +634,20 @@ def test_benchmark_contamination(spark):
     assert abs(rows["a"].contamination - 0.25) < 1e-12
     assert rows["b"].n_contaminated == 0 and rows["b"].contamination == 0.0
     assert rows["c"].n_shingles == 0 and rows["c"].contamination is None
+
+
+def test_training_filter_query(spark):
+    """Composite gate end-to-end at sf0.001: every doc gets a verdict,
+    keep ⇔ drop_reason is null, and reasons come from the fixed gate
+    vocabulary."""
+    import __spark_entry__ as entry
+
+    rows = entry._q_training_filter(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.keep == (r.drop_reason is None)
+        if r.drop_reason is not None:
+            assert r.drop_reason in (
+                "too_few_words", "repetitive", "duplicated", "contaminated"
+            )
+    assert any(r.keep for r in rows) and any(not r.keep for r in rows)
