@@ -528,6 +528,26 @@ def _q_contamination(spark, sf_dir):
     )
 
 
+def _q_knn_join(spark, sf_dir):
+    """Batch k-NN join (ANN-serving shape): every 101st embedding plays a
+    query; one corpus scan serves all queries via a broadcast join + one
+    per-query window. Cosine rounded to 3 decimals for the cross-engine
+    hash (engine dot-product orders differ at ~1e-16)."""
+    from sparkhtml.spark.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = knn_join(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cosine", 3).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def _q_training_filter(spark, sf_dir):
     """Composite training-data gate: joins the repetition, duplicate-
     coverage and contamination signals and emits keep/drop plus the first
@@ -855,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "contamination": _q_contamination,
         "training_filter": _q_training_filter,
+        "knn_join": _q_knn_join,
         "repetition_features": _q_repetition_features,
         "dup_coverage": _q_dup_coverage,
         "stream_extract": _q_stream_extract,
@@ -1218,6 +1239,17 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.n_cont, 0)::BIGINT AS n_contaminated, "
             "(a.n_cont::DOUBLE / a.n_shingles) AS contamination "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "knn_join": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+            "FROM embeddings WHERE vec_id % 101 = 0), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding, q.qv) AS c, "
+            "row_number() OVER (PARTITION BY q.query_id "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "
+            "e.vec_id) AS rk FROM embeddings e, q) "
+            "SELECT query_id, vec_id, round(round(c, 6), 3) AS cosine, "
+            "rk::BIGINT AS rank FROM scored WHERE rk <= 5"
         ),
         "training_filter": (
             "WITH words AS (SELECT doc_id, list_filter("

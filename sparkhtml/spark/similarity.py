@@ -84,6 +84,53 @@ def cosine_topk_vs(
     )
 
 
+def knn_join(
+    df: DataFrame, queries: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    query_id_col: str = "query_id", query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact batch k-NN join: for EVERY row of ``queries``, the top-k
+    corpus rows by cosine — the ANN-serving shape (N queries at once),
+    vs :func:`cosine_topk_vs`'s single query.
+
+    Plan: the query set broadcasts (real serving batches are O(10³)
+    rows); corpus rows join against all queries in one scan-local
+    BroadcastNestedLoopJoin, then one window partitioned by query id
+    ranks per-query. The corpus is scanned ONCE regardless of the number
+    of queries — at 100 TB that dominates running N single-query jobs by
+    N×. Query norms are projected once pre-broadcast, not per pair.
+    Ties break by corpus id for determinism.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col or vec_col).alias("_qv"),
+    ).withColumn("_qnorm", F.greatest(_norm_col("_qv"), F.lit(1e-12)))
+    joined = df.crossJoin(F.broadcast(q))
+    cos = dot_col(F.col(vec_col), F.col("_qv")) / (
+        F.greatest(_norm_col(vec_col), F.lit(1e-12)) * F.col("_qnorm")
+    )
+    scored = joined.select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cos.alias("_cos"),  # rank by the raw value; round only the output
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_cos"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("_cos", 6).alias("cosine"),
+            F.col("_rk").alias("rank"),
+        )
+    )
+
+
 def hyperplane_signature(
     vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
 ):

@@ -205,3 +205,12 @@ def test_contamination_broadcasts_bench_side(spark):
 
     p = plan(entry._q_contamination(spark, SF))
     assert "BroadcastHashJoin" in p
+
+
+def test_knn_join_broadcasts_queries(spark):
+    """Batch k-NN joins the corpus against BROADCAST queries — one corpus
+    scan for N queries, never a shuffle of the big side for scoring."""
+    import __spark_entry__ as entry
+
+    p = plan(entry._q_knn_join(spark, SF))
+    assert "Broadcast" in p  # BroadcastNestedLoopJoin

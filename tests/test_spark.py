@@ -651,3 +651,27 @@ def test_training_filter_query(spark):
                 "too_few_words", "repetitive", "duplicated", "contaminated"
             )
     assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+
+
+def test_knn_join(spark):
+    from sparkhtml.spark.similarity import knn_join
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        ["query_id", "embedding"],
+    )
+    out = knn_join(emb, qs, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    assert sorted(by_q[100]) == [(1, 0, 1.0), (2, 1, 0.993884)]
+    assert [v for _, v, _ in sorted(by_q[200])] == [2, 3]
+    assert all(len(v) == 2 for v in by_q.values())
