@@ -422,11 +422,20 @@ TREE_CASES_TURBO: list[tuple[str, str | None]] = [
 def gen_tree(cases=None) -> str:
     out = []
     for data, frag in (cases if cases is not None else TREE_CASES):
+        # the slower token-at-a-time pull path is the oracle; the fused
+        # turbo path must agree at generation time so a fused-loop bug can
+        # never be baked into regenerated goldens
         if frag is not None:
-            nodes, _errs = parse_fragment_nodes(data, frag)
+            nodes, _errs = parse_fragment_nodes(data, frag, use_turbo=False)
             dump = dump_fragment(nodes)
+            t_nodes, _ = parse_fragment_nodes(data, frag, use_turbo=True)
+            assert dump_fragment(t_nodes) == dump, (
+                f"turbo/pull divergence generating golden: {data!r}")
         else:
-            dump = html5lib_dump(parse(data).document)
+            dump = html5lib_dump(parse(data, use_turbo=False).document)
+            turbo_dump = html5lib_dump(parse(data, use_turbo=True).document)
+            assert turbo_dump == dump, (
+                f"turbo/pull divergence generating golden: {data!r}")
         sec = ["#data", data, "#errors"]
         if frag is not None:
             sec += ["#document-fragment", frag]
@@ -435,8 +444,8 @@ def gen_tree(cases=None) -> str:
     return "\n\n".join(out) + "\n"
 
 
-def parse_fragment_nodes(data: str, context: str):
-    children = parse_fragment(data, context)
+def parse_fragment_nodes(data: str, context: str, use_turbo: bool = True):
+    children = parse_fragment(data, context, use_turbo=use_turbo)
     return children, None
 
 

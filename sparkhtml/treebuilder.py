@@ -542,6 +542,14 @@ class TreeBuilder:
                             # tag generation stops at the matching node.
                             oe.pop()
                             i = m.end()
+                            if oe[-1].ns != NS_HTML:
+                                # popped onto a foreign integration point
+                                # (e.g. </div> with svg foreignObject
+                                # beneath): steady state broken — hand
+                                # back so foreign-content dispatch runs
+                                tk.i = i
+                                self.frameset_ok = frameset_ok
+                                return True
                             continue
                         if name in FORMATTING and af:
                             entry = af[-1]
@@ -553,6 +561,10 @@ class TreeBuilder:
                                 oe.pop()
                                 af.pop()
                                 i = m.end()
+                                if oe[-1].ns != NS_HTML:
+                                    tk.i = i
+                                    self.frameset_ok = frameset_ok
+                                    return True
                                 continue
                     i = m.end()
                     self.frameset_ok = frameset_ok
@@ -647,6 +659,10 @@ class TreeBuilder:
                             oe.append(el)
                         else:
                             self.parse_error("depth-limit-exceeded")
+                            if oe[-1].ns != NS_HTML:
+                                tk.i = i
+                                self.frameset_ok = frameset_ok
+                                return True
                         continue
                     if name in HEADINGS:
                         # in-body heading branch, inlined
@@ -667,6 +683,10 @@ class TreeBuilder:
                             oe.append(el)
                         else:
                             self.parse_error("depth-limit-exceeded")
+                            if oe[-1].ns != NS_HTML:
+                                tk.i = i
+                                self.frameset_ok = frameset_ok
+                                return True
                         continue
                     self.frameset_ok = frameset_ok
                     delegate_start(("StartTag", name, attrs, self_closing))

@@ -293,6 +293,9 @@ def test_fast_tag_path_matches_state_machine(attrs, tail):
     "<h2>", "</h2>", "<table>", "<tr>", "<td>", "</td>", "</tr>", "</table>",
     "<pre>", "</pre>", "<nobr>", "</nobr>", "<em class='q'>", "</em>",
     "<svg>", "</svg>", "<script>", "</script>", "<br>", "<img src=x>",
+    "<foreignObject>", "</foreignObject>", "<desc>", "</desc>",
+    "<math>", "</math>", "<mi>", "</mi>",
+    "<annotation-xml encoding='text/html'>", "</annotation-xml>",
     "<!--c-->", "<!--a--b-->", "<form>", "</form>", "<button>", "</button>",
     "text ", "&amp;", "&hellip;", "&bogus;", "x&#65;y", " \n", "words here",
 ]), max_size=24).map("".join))
@@ -330,6 +333,8 @@ def test_fused_loop_matches_pull_parser_char_soup(html):
         "<table>", "<tr>", "<td>", "</td>", "</table>", "<pre>", "</pre>",
         "<svg>", "</svg>", "<script>", "</script>", "<!--c-->", "text ",
         "&amp;", "&#65;", "</body>", "</html>", "<span>", "</span>",
+        "<foreignObject>", "</foreignObject>", "<math>", "</math>",
+        "<mi>", "</mi>", "<desc>", "</desc>",
     ]), max_size=16).map("".join),
     st.sampled_from(["body", "div", "td", "table", "a", "form", "p"]),
 )
