@@ -481,8 +481,8 @@ def _q_pii_scrub(spark, sf_dir):
 
 def _q_repetition_features(spark, sf_dir):
     """Gopher-style repetition quality signals (distinct-word ratio,
-    top-word share) via explode + two-level aggregate — map-side partial
-    aggregation on (doc, word), one shuffle."""
+    top-word share) as per-row JVM expressions over the bound word array
+    (sorted-run-length max for the top word) — zero shuffle."""
     from sparkhtml.spark.textstats import repetition_features
 
     return repetition_features(_docs(spark, sf_dir)).select(
@@ -1244,11 +1244,11 @@ def oracle_sql() -> dict[str, str]:
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
             "FROM embeddings WHERE vec_id % 101 = 0), "
             "scored AS (SELECT q.query_id, e.vec_id, "
-            "list_cosine_similarity(e.embedding, q.qv) AS c, "
+            "round(list_cosine_similarity(e.embedding, q.qv), 6) AS c, "
             "row_number() OVER (PARTITION BY q.query_id "
-            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "
-            "e.vec_id) AS rk FROM embeddings e, q) "
-            "SELECT query_id, vec_id, round(round(c, 6), 3) AS cosine, "
+            "ORDER BY round(list_cosine_similarity(e.embedding, q.qv), 6) "
+            "DESC, e.vec_id) AS rk FROM embeddings e, q) "
+            "SELECT query_id, vec_id, round(c, 3) AS cosine, "
             "rk::BIGINT AS rank FROM scored WHERE rk <= 5"
         ),
         "training_filter": (

@@ -99,7 +99,11 @@ def knn_join(
     ranks per-query. The corpus is scanned ONCE regardless of the number
     of queries — at 100 TB that dominates running N single-query jobs by
     N×. Query norms are projected once pre-broadcast, not per pair.
-    Ties break by corpus id for determinism.
+    Ranking orders by the cosine ROUNDED to the output precision (6
+    places) before the corpus-id tie-break: near-equal neighbors whose
+    raw dot products differ only in the last float ulps (~1e-16 between
+    engines) would otherwise reorder nondeterministically across
+    engines; at round-6 both engines resolve identically via the id.
     """
     from pyspark.sql import Window
 
@@ -114,7 +118,7 @@ def knn_join(
     scored = joined.select(
         F.col("_qid").alias(query_id_col),
         F.col(id_col),
-        cos.alias("_cos"),  # rank by the raw value; round only the output
+        F.round(cos, 6).alias("_cos"),  # rank at output precision
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("_cos"), F.col(id_col)

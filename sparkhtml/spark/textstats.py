@@ -64,12 +64,12 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     stop = F.array(*[F.lit(w) for w in _STOP_MARKERS["en"]])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, F.lower(w))))
     n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    # exact: mean of word lengths from the bound array (the old
-    # (n_chars - n_words + 1)/n_words shortcut miscounts under runs of
-    # whitespace)
-    mean_word_len = F.aggregate(
-        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
-    ) / F.greatest(n_words, F.lit(1))
+    # exact: total word characters / word count. concat_ws over the bound
+    # array gets the exact character total in one pass — same value as the
+    # per-element fold it replaces, ~O(words) cheaper per row
+    mean_word_len = F.length(F.concat_ws("", words)).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    )
     return (
         bound.withColumn("n_chars", n_chars.cast("long"))
         .withColumn("n_words", n_words.cast("long"))
@@ -138,38 +138,52 @@ def repetition_features(
     - ``distinct_ratio`` — n_distinct / n_words (low ⇒ repetitive)
     - ``top_word_share`` — most-frequent-word count / n_words
 
-    Shape: explode words → two-level aggregate with map-side partial
-    aggregation on (doc, word); one shuffle keyed by doc_id, no window.
-    Docs with no words get (0, 0, null, null).
+    Shape: every signal is document-local, so everything is a per-row
+    JVM expression over the bound word array — **zero shuffle** (the
+    round-3 explode + two-level aggregate exchanged ~corpus-sized word
+    rows for a metric the scan can compute in place; at 100 TB that
+    shuffle was the whole cost). The top-word count comes from the max
+    run length of the sorted array — a single O(n log n) ``array_sort``
+    + O(n) ``aggregate`` fold, fully inside whole-stage codegen, no
+    Python. Docs with no words get (0, 0, null, null).
     """
-    words = df.select(
+    bound = df.withColumn(
+        "_words",
+        F.filter(F.split(F.lower(F.col(col)), r"\s+"),
+                 lambda t: F.length(t) > 0),
+    )
+    words = F.col("_words")
+    n_words = F.size(words).cast("bigint")
+    n_distinct = F.size(F.array_distinct(words)).cast("bigint")
+    # max run length over the sorted words == count of the most frequent
+    # word. Accumulator (prev, run, best); '' sentinel can't collide —
+    # empty words are filtered out above.
+    top = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda a, w: F.struct(
+            w.alias("prev"),
+            F.when(w == a.prev, a.run + 1).otherwise(F.lit(1).cast("bigint"))
+             .alias("run"),
+            F.greatest(
+                a.best,
+                F.when(w == a.prev, a.run + 1)
+                 .otherwise(F.lit(1).cast("bigint")),
+            ).alias("best"),
+        ),
+        lambda a: a.best,
+    )
+    return bound.select(
         F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(col)), r"\s+"),
-                     lambda t: F.length(t) > 0)
-        ).alias("_w"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        F.when(n_words > 0, n_distinct / n_words).alias("distinct_ratio"),
+        F.when(n_words > 0, top / n_words).alias("top_word_share"),
     )
-    per_word = words.groupBy(id_col, "_w").agg(F.count("*").alias("_c"))
-    feats = per_word.groupBy(id_col).agg(
-        F.sum("_c").alias("n_words"),
-        F.count("*").alias("n_distinct"),
-        F.max("_c").alias("_top"),
-    )
-    out = feats.select(
-        id_col,
-        "n_words",
-        "n_distinct",
-        (F.col("n_distinct") / F.col("n_words")).alias("distinct_ratio"),
-        (F.col("_top") / F.col("n_words")).alias("top_word_share"),
-    )
-    empty = df.join(out, id_col, "left_anti").select(
-        F.col(id_col),
-        F.lit(0).cast("bigint").alias("n_words"),
-        F.lit(0).cast("bigint").alias("n_distinct"),
-        F.lit(None).cast("double").alias("distinct_ratio"),
-        F.lit(None).cast("double").alias("top_word_share"),
-    )
-    return out.unionByName(empty)
 
 
 def benchmark_contamination(

@@ -690,6 +690,18 @@ class TreeBuilder:
                         continue
                     self.frameset_ok = frameset_ok
                     delegate_start(("StartTag", name, attrs, self_closing))
+                # raw-text fusion: a delegated <script>/<style>/<title>/
+                # <textarea>/<xmp>/... start flipped into text mode — scan
+                # the content to the matching end tag in one regex pass,
+                # bulk-insert it, restore the mode, and stay in the loop.
+                # Real pages are script/style-heavy; without this every
+                # RCDATA/RAWTEXT switch exits to the per-state machinery.
+                if self.mode == "text" and not self.done:
+                    nxt = self._turbo_raw_text(i)
+                    if nxt < 0:
+                        tk.i = i
+                        return True
+                    i = nxt
                 # delegated to the megaswitch: re-validate the steady state
                 frameset_ok = self.frameset_ok
                 if (
@@ -732,6 +744,79 @@ class TreeBuilder:
         tk.i = i
         self.frameset_ok = frameset_ok
         return i > start
+
+    def _turbo_raw_text(self, i: int) -> int:
+        """Fused text-mode content scan (RCDATA / RAWTEXT / script data).
+
+        Called right after a delegated start tag switched to mode="text":
+        finds the appropriate ``</name>`` end tag with one regex search,
+        inserts the content as a single text node (entity-resolved for
+        RCDATA), pops the element and restores the insertion mode — the
+        exact effect of the per-state Character stream + EndTag through
+        ``_mode_text``. Returns the input index past the end tag's ``>``,
+        or -1 to bail to the per-state machinery (nothing consumed) on:
+        NUL in content, ``<!--`` in script data (escaped states can move
+        the terminator), an attr-ful / self-closing / ws-suffixed end tag,
+        or EOF before the end tag. Batching per the reference's
+        HTMLPreprocessedInputStream.m:41-58 scan posture.
+        """
+        tk = self.tokenizer
+        st = tk.state
+        if st not in _RAW_FUSE_STATES:
+            return -1  # plaintext or anything unusual: slow path
+        s = tk.s
+        n = tk.n
+        name = tk.last_start_tag
+        pat = _RAW_END_RE.get(name)
+        if pat is None:
+            pat = re.compile("</" + re.escape(name), re.IGNORECASE)
+            _RAW_END_RE[name] = pat
+        pos = i
+        while True:
+            m = pat.search(s, pos)
+            if m is None:
+                return -1  # EOF in raw text: per-state EOF error path
+            e = m.end()
+            c = s[e] if e < n else ""
+            if c == ">":
+                break
+            if c in "\t\n\x0c /":
+                # ws/solidus-suffixed end tag (attrs, self-closing):
+                # error-channel shapes the per-state machinery owns
+                return -1
+            pos = e  # '</scriptx', '</script<' …: still text, keep looking
+        start_c, end_c = i, m.start()
+        content = s[start_c:end_c]
+        if "\0" in content:
+            return -1
+        if st == tz.SCRIPT_DATA and "<!--" in content:
+            return -1
+        if st == tz.RCDATA and "&" in content:
+            out = []
+            p = start_c
+            while True:
+                a = s.find("&", p, end_c)
+                if a == -1:
+                    out.append(s[p:end_c])
+                    break
+                out.append(s[p:a])
+                t, p = consume_char_ref(s, a, False, tk.errors)
+                out.append(t)
+            content = "".join(out)
+        if self.ignore_next_lf:  # textarea's leading-LF skip
+            self.ignore_next_lf = False
+            if content.startswith("\n"):
+                content = content[1:]
+        oe = self.open_elements
+        if content:
+            el = oe[-1]
+            node = Node(TEXT, text=content)
+            node.parent = el
+            el.children.append(node)
+        oe.pop()
+        self.mode = self.original_mode
+        tk.state = "data"
+        return e + 1  # past '>'
 
     def fragment_children(self) -> list[Node]:
         return list(self.root.children)
@@ -2634,6 +2719,11 @@ _SCAFFOLD_SKIP = frozenset(
 # formatting tags the fused loop opens inline: plain reconstruct + insert +
 # AFE push ('a' needs the open-a scan, 'nobr' the nobr-in-scope check)
 _TURBO_FMT_SIMPLE = FORMATTING - frozenset(["a", "nobr"])
+
+# raw-text fusion: states the fused content scan handles, and the
+# per-tag compiled end-tag patterns it searches with
+_RAW_FUSE_STATES = frozenset([tz.RCDATA, tz.RAWTEXT, tz.SCRIPT_DATA])
+_RAW_END_RE: dict[str, re.Pattern] = {}
 
 
 def _has_open_a(af) -> bool:

@@ -169,6 +169,19 @@ def test_extraction_pipeline_has_no_shuffle(spark):
     assert "Exchange" not in p, p
 
 
+def test_repetition_features_has_no_shuffle(spark):
+    """repetition_features signals are document-local, so the plan must be
+    scan-local per-row expressions: ZERO exchanges and zero Python (the
+    round-3 explode + two-level aggregate shuffled ~corpus-sized word rows
+    at 100 TB for nothing)."""
+    from sparkhtml.spark.textstats import repetition_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(repetition_features(docs))
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
 def test_cosine_neardup_norms_precomputed(spark):
     """cosine_near_dup_pairs must evaluate the O(dim) norm aggregate once
     per ROW (projected before the bucket self-join), not once per candidate

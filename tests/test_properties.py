@@ -296,6 +296,9 @@ def test_fast_tag_path_matches_state_machine(attrs, tail):
     "<foreignObject>", "</foreignObject>", "<desc>", "</desc>",
     "<math>", "</math>", "<mi>", "</mi>",
     "<annotation-xml encoding='text/html'>", "</annotation-xml>",
+    "<style>", "</style>", "<title>", "</title>", "<textarea>",
+    "</textarea>", "<xmp>", "</xmp>", "var a<b;", "<!--x-->",
+    "</script >", "</scriptx", "i<n&&j<k",
     "<!--c-->", "<!--a--b-->", "<form>", "</form>", "<button>", "</button>",
     "text ", "&amp;", "&hellip;", "&bogus;", "x&#65;y", " \n", "words here",
 ]), max_size=24).map("".join))
