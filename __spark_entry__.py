@@ -548,6 +548,29 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_knn_join_ivf(spark, sf_dir):
+    """IVF-bucketed batch k-NN join at FULL probe (n_probe = k): corpus
+    rows equi-join on their cluster id against the exploded
+    (query, probe) table instead of a nested loop — at full probe every
+    query probes every cluster, so the result must equal the exact
+    knn_join and the same DuckDB oracle applies to the whole IVF join
+    machinery (assign, probe explode, equi-join, window)."""
+    from sparkhtml.spark.similarity import IVFIndex, knn_join_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    idx = IVFIndex(k=4).fit(emb)
+    out = knn_join_ivf(emb, queries, idx, k=5, n_probe=4)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cosine", 3).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def _q_training_filter(spark, sf_dir):
     """Composite training-data gate: joins the repetition, duplicate-
     coverage and contamination signals and emits keep/drop plus the first
@@ -876,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "training_filter": _q_training_filter,
         "knn_join": _q_knn_join,
+        "knn_join_ivf": _q_knn_join_ivf,
         "repetition_features": _q_repetition_features,
         "dup_coverage": _q_dup_coverage,
         "stream_extract": _q_stream_extract,
@@ -1241,6 +1265,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "knn_join": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+            "FROM embeddings WHERE vec_id % 101 = 0), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "round(list_cosine_similarity(e.embedding, q.qv), 6) AS c, "
+            "row_number() OVER (PARTITION BY q.query_id "
+            "ORDER BY round(list_cosine_similarity(e.embedding, q.qv), 6) "
+            "DESC, e.vec_id) AS rk FROM embeddings e, q) "
+            "SELECT query_id, vec_id, round(c, 3) AS cosine, "
+            "rk::BIGINT AS rank FROM scored WHERE rk <= 5"
+        ),
+        # full-probe IVF join ≡ exact join: same oracle
+        "knn_join_ivf": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
             "FROM embeddings WHERE vec_id % 101 = 0), "
             "scored AS (SELECT q.query_id, e.vec_id, "

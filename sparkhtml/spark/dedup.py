@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from . import _register_cached
 from pyspark.sql.types import LongType
 
 
@@ -229,7 +231,9 @@ def minhash_lsh_pairs(
         .filter(F.col("sig_agreement") >= min_agree)
         .select("a", "b", F.round("sig_agreement", 6).alias("sig_agreement"))
     )
-    return verified
+    # the cached signature table is referenced three times (banding + both
+    # verify sides); register it so long-lived sessions can release_cached()
+    return _register_cached(verified, sigs)
 
 
 # ----------------------------------------------------------------- simhash
@@ -379,10 +383,11 @@ def simhash_near_dups(df: DataFrame, col: str = "text", id_col: str = "doc_id",
         )
         .distinct()
     )
-    return (
+    return _register_cached(
         cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+        .select("a", "b", "hamming"),
+        sh,
     )
 
 

@@ -124,6 +124,160 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) →
+    (H, W, 3) uint8. Pure stdlib ``zlib`` + numpy unfiltering — real
+    corpora are PNG/JPEG-dominated and this covers the most common
+    format dependency-free. All five scanline filters supported; Sub is
+    a per-lane cumsum, Up a vectorized add, Average/Paeth walk the row
+    (left-neighbor data dependency)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = []
+    while pos + 8 <= n:
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise ValueError("bad PNG dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad PNG IDAT stream: {exc}") from exc
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    data = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(
+        h, stride + 1
+    )
+    ftypes = data[:, 0]
+    scan = data[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = ftypes[y]
+        line = scan[y]
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] ⇒ lane cumsum
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) % 256
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pr) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = rec
+        prev = rec if rec.dtype == np.int64 else rec.astype(np.int64)
+    arr = recon.reshape(h, w, channels)
+    if channels == 1:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif channels == 2:
+        rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif channels == 4:
+        rgb = arr[:, :, :3]
+    else:
+        rgb = arr
+    return np.ascontiguousarray(rgb)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit, non-interlaced) used by tests and the
+    oracle query to exercise :func:`decode_png` — every scanline gets
+    ``filter_type`` so each of the five filters is decodable under a
+    closed-form oracle."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = arr.astype(np.int64).reshape(h, w * ch)
+    bpp = ch
+    rows = []
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        ul = np.zeros_like(prev)
+        ul[bpp:] = prev[:-bpp]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pr = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = cur - pr
+        rows.append(
+            bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes()
+        )
+        prev = cur
+    raw = zlib.compress(b"".join(rows))
+
+    def chunk(t: bytes, b: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes) -> np.ndarray:
     """RIFF/WAVE PCM (8/16-bit) → mono float64 samples in [-1, 1]."""
     import struct
@@ -201,6 +355,8 @@ def _decode_real(payload: bytes, mime: str, dim: int) -> np.ndarray:
     p = bytes(payload) if payload is not None else b""
     if p.startswith((b"P6", b"P5")):
         return image_features(decode_ppm(p), dim)
+    if p.startswith(b"\x89PNG\r\n\x1a\n"):
+        return image_features(decode_png(p), dim)
     if p.startswith(b"BM"):
         return image_features(decode_bmp(p), dim)
     if p.startswith(b"RIFF"):
@@ -297,8 +453,16 @@ def make_real_payload(doc_id: int) -> tuple[str, str, bytes, int | None]:
     import struct
 
     m = doc_id % 4
-    if m == 0:  # P6 PPM, 8x8 solid color
+    if m == 0:  # 8x8 solid color: PPM and PNG alternate (same features,
+        # so the closed-form oracle is container-agnostic); the PNG rows
+        # cycle through all five scanline filters
         r, g, b = doc_id % 256, (3 * doc_id) % 256, (7 * doc_id) % 256
+        if (doc_id // 4) % 2:
+            arr = np.full((8, 8, 3), (r, g, b), dtype=np.uint8)
+            return (
+                "image", "image/png",
+                encode_png(arr, filter_type=(doc_id // 8) % 5), None,
+            )
         return (
             "image", "image/x-portable-pixmap",
             b"P6\n8 8\n255\n" + bytes([r, g, b]) * 64, None,

@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from . import _register_cached
+
 
 def _norm_col(vec: str):
     return F.sqrt(
@@ -130,6 +132,76 @@ def knn_join(
             query_id_col,
             id_col,
             F.round("_cos", 6).alias("cosine"),
+            F.col("_rk").alias("rank"),
+        )
+    )
+
+
+def knn_join_ivf(
+    df: DataFrame, queries: DataFrame, index: "IVFIndex", k: int = 10,
+    n_probe: int = 3, vec_col: str = "embedding", id_col: str = "vec_id",
+    query_id_col: str = "query_id", query_vec_col: str | None = None,
+) -> DataFrame:
+    """ANN-shaped batch k-NN join: corpus rows score ONLY against queries
+    probing their IVF cluster.
+
+    :func:`knn_join`'s broadcast nested loop is exact but does
+    corpus × N dot products; here the broadcast side is the exploded
+    (query, probe-cluster) table and the join is an **equi-join on the
+    cluster id** — each corpus row hashes to its cluster's queries, so
+    the dot-product count drops to ~corpus × N × n_probe / k. At full
+    probe (``n_probe = index.k``) the result equals the exact join (the
+    driver oracle pins that); at partial probe recall is pinned by test.
+    Ranking matches :func:`knn_join`: cosine rounded to output precision,
+    corpus-id tie-break.
+    """
+    from pyspark.sql import Window
+
+    assert index.centroids is not None, "fit() first"
+    n_probe = min(n_probe, index.k)
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(index.centroids, dtype=np.float64)
+    )
+
+    @F.pandas_udf("array<int>")
+    def _probes(v: pd.Series) -> pd.Series:
+        C = bc.value  # (k, d)
+        cn = (C * C).sum(axis=1)
+        M = np.stack(v.to_numpy())
+        scores = cn - 2.0 * (M @ C.T)  # ‖x‖² row-constant ⇒ argmin-safe
+        idxs = np.argsort(scores, axis=1)[:, :n_probe]
+        return pd.Series(list(idxs.astype("int32")))
+
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(query_vec_col or vec_col).alias("_qv"),
+        )
+        .withColumn("_qnorm", F.greatest(_norm_col("_qv"), F.lit(1e-12)))
+        .withColumn("_probe", F.explode(_probes(F.col("_qv"))))
+    )
+    corpus = index.assign(df)
+    joined = corpus.join(
+        F.broadcast(q), corpus["ivf_cluster"] == q["_probe"], "inner"
+    )
+    cos = dot_col(F.col(vec_col), F.col("_qv")) / (
+        F.greatest(_norm_col(vec_col), F.lit(1e-12)) * F.col("_qnorm")
+    )
+    scored = joined.select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(cos, 6).alias("_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_cos"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("_cos").alias("cosine"),
             F.col("_rk").alias("rank"),
         )
     )
@@ -288,6 +360,7 @@ def cosine_near_dup_pairs(
         sig.alias("bucket"),
         F.greatest(_norm_col(vec_col), F.lit(1e-12)).alias("norm"),
     ).cache()
+    cached_b = b
     if max_bucket is not None:
         widths = b.groupBy("bucket").agg(F.count("*").alias("_w"))
         b = (
@@ -299,7 +372,7 @@ def cosine_near_dup_pairs(
     cos = dot_col(F.col("l.v"), F.col("r.v")) / (
         F.col("l.norm") * F.col("r.norm")
     )
-    return (
+    return _register_cached(
         l.join(
             r,
             (F.col("l.bucket") == F.col("r.bucket"))
@@ -307,5 +380,6 @@ def cosine_near_dup_pairs(
         )
         .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), "cosine")
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), "cosine"),
+        cached_b,
     )

@@ -227,3 +227,20 @@ def test_knn_join_broadcasts_queries(spark):
 
     p = plan(entry._q_knn_join(spark, SF))
     assert "Broadcast" in p  # BroadcastNestedLoopJoin
+
+
+def test_knn_join_ivf_is_equi_join(spark):
+    """The IVF variant must join corpus rows to queries by CLUSTER ID —
+    a BroadcastHashJoin on the equi-key, not the exact join's nested
+    loop — so at partial probe each corpus row scores only against the
+    queries probing its cluster."""
+    from sparkhtml.spark.similarity import IVFIndex, knn_join_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = IVFIndex(k=4).fit(emb)
+    p = plan(knn_join_ivf(emb, queries, idx, k=5, n_probe=2))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p

@@ -442,6 +442,63 @@ def test_media_decoders_unit():
     assert (arr[1, 0] == [255, 0, 0]).all()
 
 
+def test_release_cached_unpersists_intermediates(spark):
+    """The LSH operators cache multi-referenced intermediates;
+    release_cached must unpersist them so long-lived sessions don't leak
+    cache entries (VERDICT r3 hygiene item)."""
+    from sparkhtml.spark import release_cached
+    from sparkhtml.spark.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = minhash_lsh_pairs(docs.limit(50))
+    out.count()
+    deps = getattr(out, "_sparkhtml_cached_deps")
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    assert release_cached(out) == len(deps)
+    assert all(not d.storageLevel.useMemory for d in deps)
+    assert release_cached(out) == 0  # idempotent
+
+
+def test_png_decode_roundtrip():
+    """decode_png must invert encode_png bit-exactly for every scanline
+    filter (0-4), every supported channel count, and non-solid content —
+    random images stress the left/up data dependencies of Sub/Average/
+    Paeth. Plus error rows: truncation, bad filter byte, interlace."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkhtml.spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    for ch, expect3 in ((1, "gray"), (2, "graya"), (3, "rgb"), (4, "rgba")):
+        img = rng.integers(0, 256, size=(9, 7, ch), dtype=np.uint8)
+        for f in range(5):
+            out = decode_png(encode_png(img, filter_type=f))
+            assert out.shape == (9, 7, 3), (ch, f)
+            if ch == 3:
+                assert (out == img).all(), f
+            elif ch == 4:
+                assert (out == img[:, :, :3]).all(), f
+            else:  # gray/gray+alpha replicate channel 0
+                assert (out == np.repeat(img[:, :, :1], 3, axis=2)).all(), f
+
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    good = encode_png(img, filter_type=4)
+    with _pytest.raises(ValueError):
+        decode_png(good[:40])  # truncated chunk
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+    # interlaced header rejected
+    import struct as _struct
+    import zlib as _zlib
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    pay = (b"\x89PNG\r\n\x1a\n"
+           + _struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+           + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr)))
+    with _pytest.raises(ValueError):
+        decode_png(pay)
+
+
 def test_selector_plan_parity_postop_pseudos(spark):
     """DataFrame-plan coverage for :empty, :not(complex), :link, :checked,
     :enabled/:disabled (fieldset propagation incl. first-legend carve-out)
@@ -675,3 +732,37 @@ def test_knn_join(spark):
     assert sorted(by_q[100]) == [(1, 0, 1.0), (2, 1, 0.993884)]
     assert [v for _, v, _ in sorted(by_q[200])] == [2, 3]
     assert all(len(v) == 2 for v in by_q.values())
+
+
+def test_knn_join_ivf_full_probe_exact_and_partial_recall(spark):
+    """Full probe (n_probe=k) must equal the exact knn_join row-for-row;
+    partial probe must keep recall@5 high on clusterable data (every
+    query's own cluster is probed first, so its exact neighbors in that
+    cluster always surface)."""
+    from sparkhtml.spark.similarity import IVFIndex, knn_join, knn_join_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = IVFIndex(k=4).fit(emb)
+
+    exact = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in knn_join(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in knn_join_ivf(emb, queries, idx, k=5, n_probe=4).collect()
+    }
+    assert full == exact
+
+    exact_sets = {}
+    for q, v, _, _ in exact:
+        exact_sets.setdefault(q, set()).add(v)
+    part = {}
+    for r in knn_join_ivf(emb, queries, idx, k=5, n_probe=2).collect():
+        part.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(part.get(q, set()) & s) for q, s in exact_sets.items())
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6, f"recall@5 {hits}/{total}"
