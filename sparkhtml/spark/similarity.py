@@ -180,9 +180,15 @@ def knn_join_ivf(
         .withColumn("_qnorm", F.greatest(_norm_col("_qv"), F.lit(1e-12)))
         .withColumn("_probe", F.explode(_probes(F.col("_qv"))))
     )
-    corpus = index.assign(df)
+    # the coalesce makes the join key non-nullable, so Catalyst does not
+    # generate an isnotnull pre-filter — which would otherwise evaluate
+    # the _assign UDF a SECOND time per corpus row (separate
+    # ArrowEvalPython for the filter and the projection)
+    corpus = index.assign(df).withColumn(
+        "_ck", F.coalesce(F.col("ivf_cluster"), F.lit(-1))
+    )
     joined = corpus.join(
-        F.broadcast(q), corpus["ivf_cluster"] == q["_probe"], "inner"
+        F.broadcast(q), corpus["_ck"] == q["_probe"], "inner"
     )
     cos = dot_col(F.col(vec_col), F.col("_qv")) / (
         F.greatest(_norm_col(vec_col), F.lit(1e-12)) * F.col("_qnorm")

@@ -244,3 +244,7 @@ def test_knn_join_ivf_is_equi_join(spark):
     p = plan(knn_join_ivf(emb, queries, idx, k=5, n_probe=2))
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+    # the corpus-side cluster-assign UDF must run ONCE per row — a
+    # nullable join key makes Catalyst generate an isnotnull pre-filter
+    # with its own ArrowEvalPython, doubling the Python crossing
+    assert p.count("ArrowEvalPython [_assign") == 1, p
