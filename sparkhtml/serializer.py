@@ -138,8 +138,15 @@ def html5lib_dump(node: Node, indent: int = 0, _out: list[str] | None = None) ->
         out.append(f"{pad}<{prefix}{node.tag}>")
         for name, value in sorted(node.attrs):
             out.append(f'{pad}  {name}="{value}"')
+        child_indent = indent + 1
+        if node.tag == "template" and not prefix:
+            # HTML template contents live in the content fragment
+            # (children in this model); html5lib format shows the
+            # intervening 'content' pseudo-node
+            out.append(f"{pad}  content")
+            child_indent = indent + 2
         for child in node.children:
-            html5lib_dump(child, indent + 1, out)
+            html5lib_dump(child, child_indent, out)
         return "\n".join(out) if top else ""
     for child in node.children:
         html5lib_dump(child, indent + 1, out)

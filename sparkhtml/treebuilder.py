@@ -7,9 +7,14 @@ stack-of-open-elements scope queries (:2876-2993), foster parenting
 (:3014-3048), foreign content (:2252-2467), fragment algorithm (:71-150),
 quirks-mode classification (:159-313), reset-insertion-mode (:3108-3177).
 
-Like the reference (HTMLTreeConstructionTests.m:39-41), ``<template>`` gets
-no special template-insertion-mode handling; it parses as an ordinary
-unknown element. Scripting is treated as off.
+Beyond the reference (HTMLTreeConstructionTests.m:39-41 skips
+template.dat): full template insertion modes (WHATWG 13.2.6.4.18) — the
+template-insertion-modes stack, ``in-template`` dispatch, template scope
+barriers, the foster-parenting template rule, and the thorough
+``</template>`` closing algorithm. Template contents are stored as the
+node's ``children`` (every spec insertion targeting a template element
+redirects to its content fragment, so the representations coincide); the
+html5lib dump layer renders the ``content`` pseudo-node.
 
 The builder produces a small-object tree (``Node``) that
 :mod:`sparkhtml.dom` flattens to columnar arrays once, post-parse —
@@ -114,7 +119,7 @@ SPECIAL_HTML = frozenset(
     head header hgroup hr html iframe img input isindex li link listing main
     marquee menu menuitem meta nav noembed noframes noscript object ol p param
     plaintext pre script section select source style summary table tbody td
-    textarea tfoot th thead title tr track ul wbr xmp""".split()
+    template textarea tfoot th thead title tr track ul wbr xmp""".split()
 )
 SPECIAL_MATHML = frozenset("mi mo mn ms mtext annotation-xml".split())
 SPECIAL_SVG = frozenset("foreignObject desc title".split())
@@ -122,11 +127,15 @@ SPECIAL_SVG = frozenset("foreignObject desc title".split())
 FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
 
 SCOPE_DEFAULT = frozenset(
-    "applet caption html table td th marquee object".split()
+    "applet caption html table td th marquee object template".split()
 )
 SCOPE_LIST_ITEM = SCOPE_DEFAULT | {"ol", "ul"}
 SCOPE_BUTTON = SCOPE_DEFAULT | {"button"}
-SCOPE_TABLE = frozenset("html table".split())
+SCOPE_TABLE = frozenset("html table template".split())
+# "clear the stack back to a table body / table row context" stop sets —
+# template is a barrier in both (WHATWG 13.2.6.4.13-14)
+_TBODY_CONTEXT = frozenset(("tbody", "tfoot", "thead", "template", "html"))
+_TR_CONTEXT = frozenset(("tr", "template", "html"))
 
 # includes menuitem (reference parity, HTMLParser.m:3246)
 IMPLIED_END = frozenset("dd dt li menuitem option optgroup p rp rt".split())
@@ -348,6 +357,8 @@ class TreeBuilder:
         self.done = False
         self.fragment_context = fragment_context
         self.context_node: Optional[Node] = None
+        # stack of template insertion modes (WHATWG 13.2.4.1)
+        self.template_modes: list[str] = []
 
         state = tz.DATA
         last_start = None
@@ -377,6 +388,8 @@ class TreeBuilder:
             self.document.append(root)
             self.open_elements.append(root)
             self.root = root
+            if ns == NS_HTML and ctag == "template":
+                self.template_modes.append("in-template")
             self._reset_insertion_mode()
             # form pointer walk (HTMLParser.m:123-136): context element and
             # ancestors — fragment contexts here have no ancestors, so only
@@ -985,10 +998,24 @@ class TreeBuilder:
             "table", "tbody", "tfoot", "thead", "tr"
         ):
             last_table = None
-            for node in reversed(self.open_elements):
-                if node.ns == NS_HTML and node.tag == "table":
+            last_table_i = -1
+            last_template_i = -1
+            oe = self.open_elements
+            for i in range(len(oe) - 1, -1, -1):
+                node = oe[i]
+                if node.ns != NS_HTML:
+                    continue
+                if node.tag == "table" and last_table is None:
                     last_table = node
+                    last_table_i = i
+                elif node.tag == "template" and last_template_i < 0:
+                    last_template_i = i
+                if last_table is not None and last_template_i >= 0:
                     break
+            if last_template_i > last_table_i:
+                # template closer than any table: append to its contents
+                # (== children in this model)
+                return oe[last_template_i], None
             if last_table is None:
                 return self.open_elements[0], None
             if last_table.parent is not None:
@@ -1287,6 +1314,9 @@ class TreeBuilder:
                     return
                 continue
             tag = node.tag
+            if tag == "template":
+                self.mode = self.template_modes[-1]
+                return
             if tag == "select":
                 mode = "in-select"
                 for j in range(i - 1, 0, -1):
@@ -1474,6 +1504,15 @@ class TreeBuilder:
             if tag == "script":
                 self._raw_text_element(token, tz.SCRIPT_DATA)
                 return
+            if tag == "template":
+                # WHATWG 13.2.6.4.4: insert, AFE marker, frameset_ok off,
+                # mode → in-template (pushed on the template-modes stack)
+                self._insert_element(token)
+                self.active_formatting.append(MARKER)
+                self.frameset_ok = False
+                self.mode = "in-template"
+                self.template_modes.append("in-template")
+                return
             if tag == "head":
                 self.parse_error("two-heads-are-not-better-than-one")
                 return
@@ -1483,11 +1522,96 @@ class TreeBuilder:
                 self.open_elements.pop()
                 self.mode = "after-head"
                 return
+            if tag == "template":
+                self._close_template()
+                return
             if tag not in ("body", "html", "br"):
                 self.parse_error("unexpected-end-tag-in-head")
                 return
         self.open_elements.pop()
         self.reprocess(token, "after-head")
+
+    def _close_template(self) -> None:
+        """</template> (in-head rules, WHATWG 13.2.6.4.4)."""
+        if not any(
+            n.ns == NS_HTML and n.tag == "template"
+            for n in self.open_elements
+        ):
+            self.parse_error("unexpected-end-template")
+            return
+        self._generate_implied_end_tags(thorough=True)
+        if self.current_node().tag != "template":
+            self.parse_error("unexpected-open-elements-closing-template")
+        self._pop_until("template")
+        self._clear_formatting_to_marker()
+        if self.template_modes:
+            self.template_modes.pop()
+        self._reset_insertion_mode()
+
+    _TEMPLATE_HEAD_STARTS = frozenset(
+        "base basefont bgsound link meta noframes script style template "
+        "title".split()
+    )
+    _TEMPLATE_TABLE_STARTS = {
+        "caption": "in-table", "colgroup": "in-table", "tbody": "in-table",
+        "tfoot": "in-table", "thead": "in-table", "col": "in-column-group",
+        "tr": "in-table-body", "td": "in-row", "th": "in-row",
+    }
+
+    def _mode_in_template(self, token: tuple) -> None:
+        """WHATWG 13.2.6.4.18 'in template'. Contents land as the template
+        node's children (== its content fragment in this flat model; every
+        spec insertion targeting a template redirects to content, so the
+        two representations coincide — the html5lib dump layer re-adds the
+        'content' pseudo-node)."""
+        tt = token[0]
+        if tt in ("Character", "Comment", "DOCTYPE"):
+            self._mode_dispatch(token, "in-body")
+            return
+        if tt == "StartTag":
+            tag = token[1]
+            if tag in self._TEMPLATE_HEAD_STARTS:
+                self._mode_dispatch(token, "in-head")
+                return
+            nxt = self._TEMPLATE_TABLE_STARTS.get(tag, "in-body")
+            self.template_modes.pop()
+            self.template_modes.append(nxt)
+            self.reprocess(token, nxt)
+            return
+        if tt == "EndTag":
+            if token[1] == "template":
+                self._close_template()
+            else:
+                self.parse_error("unexpected-end-tag-in-template")
+            return
+        # EOF — iterative, not recursive: a depth-bombed document can have
+        # hundreds of open templates, and the spec's reprocess-EOF step
+        # would burn several Python frames per template. While a template
+        # remains on the stack, every mode reset can land in (the table /
+        # select family, or in-template itself — template content admits
+        # nothing that resets to in-head/after-head/frameset) delegates
+        # EOF straight back here, so the loop IS the reprocess chain.
+        # Only the final hop, after the last template pops, runs a real
+        # per-mode EOF handler — that one reprocess is O(1) deep.
+        def _template_open() -> bool:
+            return any(
+                n.ns == NS_HTML and n.tag == "template"
+                for n in self.open_elements
+            )
+
+        while True:
+            if not _template_open():
+                self.done = True
+                return
+            self.parse_error("eof-in-template")
+            self._pop_until("template")
+            self._clear_formatting_to_marker()
+            if self.template_modes:
+                self.template_modes.pop()
+            self._reset_insertion_mode()
+            if not _template_open():
+                self.reprocess(token)
+                return
 
     def _mode_in_head_noscript(self, token: tuple) -> None:
         tt = token[0]
@@ -1570,12 +1694,19 @@ class TreeBuilder:
                 if self.head in self.open_elements:
                     self.open_elements.remove(self.head)
                 return
+            if tag == "template":
+                self._mode_dispatch(token, "in-head")
+                return
             if tag == "head":
                 self.parse_error("unexpected-head")
                 return
-        if tt == "EndTag" and token[1] not in ("body", "html", "br"):
-            self.parse_error("unexpected-end-tag-after-head")
-            return
+        if tt == "EndTag":
+            if token[1] == "template":
+                self._mode_dispatch(token, "in-head")
+                return
+            if token[1] not in ("body", "html", "br"):
+                self.parse_error("unexpected-end-tag-after-head")
+                return
         self._insert_element_named("body")
         self.frameset_ok = True
         self.reprocess(token, "in-body")
@@ -1611,7 +1742,10 @@ class TreeBuilder:
             self.parse_error("unexpected-doctype")
             return
         if tt == "EOF":
-            self.done = True
+            if self.template_modes:
+                self._mode_in_template(token)
+            else:
+                self.done = True
             return
 
     def _in_body_start_tag(self, token: tuple) -> None:
@@ -1633,7 +1767,7 @@ class TreeBuilder:
                     root.attrs.append((k, v))
             return
         if tag in ("base", "basefont", "bgsound", "link", "meta", "noframes",
-                   "script", "style", "title"):
+                   "script", "style", "template", "title"):
             self._mode_dispatch(token, "in-head")
             return
         if tag == "body":
@@ -1899,6 +2033,9 @@ class TreeBuilder:
 
     def _in_body_end_tag(self, token: tuple) -> None:
         tag = token[1]
+        if tag == "template":
+            self._close_template()
+            return
         if tag == "body":
             if not self._in_scope("body"):
                 self.parse_error("unexpected-end-body")
@@ -2059,7 +2196,7 @@ class TreeBuilder:
                     self._reset_insertion_mode()
                     self.reprocess(token)
                 return
-            if tag in ("style", "script"):
+            if tag in ("style", "script", "template"):
                 self._mode_dispatch(token, "in-head")
                 return
             if tag == "input":
@@ -2087,6 +2224,9 @@ class TreeBuilder:
                     return
                 self._pop_until("table")
                 self._reset_insertion_mode()
+                return
+            if tag == "template":
+                self._mode_dispatch(token, "in-head")
                 return
             if tag in ("body", "caption", "col", "colgroup", "html", "tbody",
                        "td", "tfoot", "th", "thead", "tr"):
@@ -2197,7 +2337,13 @@ class TreeBuilder:
                 _el = self._insert_element(token)
                 self._pop_if_current(_el)
                 return
+            if tag == "template":
+                self._mode_dispatch(token, "in-head")
+                return
         if tt == "EndTag":
+            if token[1] == "template":
+                self._mode_dispatch(token, "in-head")
+                return
             if token[1] == "colgroup":
                 if self.current_node().tag != "colgroup":
                     self.parse_error("unexpected-end-colgroup")
@@ -2222,13 +2368,13 @@ class TreeBuilder:
         if tt == "StartTag":
             tag = token[1]
             if tag == "tr":
-                self._clear_stack_to(frozenset(("tbody", "tfoot", "thead", "html")))
+                self._clear_stack_to(_TBODY_CONTEXT)
                 self._insert_element(token)
                 self.mode = "in-row"
                 return
             if tag in ("th", "td"):
                 self.parse_error("unexpected-cell-in-table-body")
-                self._clear_stack_to(frozenset(("tbody", "tfoot", "thead", "html")))
+                self._clear_stack_to(_TBODY_CONTEXT)
                 self._insert_element_named("tr")
                 self.reprocess(token, "in-row")
                 return
@@ -2236,7 +2382,7 @@ class TreeBuilder:
                 if not self._in_scope(("tbody", "thead", "tfoot"), SCOPE_TABLE):
                     self.parse_error("unexpected-table-part")
                     return
-                self._clear_stack_to(frozenset(("tbody", "tfoot", "thead", "html")))
+                self._clear_stack_to(_TBODY_CONTEXT)
                 self.open_elements.pop()
                 self.reprocess(token, "in-table")
                 return
@@ -2246,7 +2392,7 @@ class TreeBuilder:
                 if not self._in_scope(tag, SCOPE_TABLE):
                     self.parse_error("unexpected-end-table-body")
                     return
-                self._clear_stack_to(frozenset(("tbody", "tfoot", "thead", "html")))
+                self._clear_stack_to(_TBODY_CONTEXT)
                 self.open_elements.pop()
                 self.mode = "in-table"
                 return
@@ -2254,7 +2400,7 @@ class TreeBuilder:
                 if not self._in_scope(("tbody", "thead", "tfoot"), SCOPE_TABLE):
                     self.parse_error("unexpected-end-table")
                     return
-                self._clear_stack_to(frozenset(("tbody", "tfoot", "thead", "html")))
+                self._clear_stack_to(_TBODY_CONTEXT)
                 self.open_elements.pop()
                 self.reprocess(token, "in-table")
                 return
@@ -2269,7 +2415,7 @@ class TreeBuilder:
         if tt == "StartTag":
             tag = token[1]
             if tag in ("th", "td"):
-                self._clear_stack_to(frozenset(("tr", "html")))
+                self._clear_stack_to(_TR_CONTEXT)
                 self._insert_element(token)
                 self.mode = "in-cell"
                 self.active_formatting.append(MARKER)
@@ -2279,7 +2425,7 @@ class TreeBuilder:
                 if not self._in_scope("tr", SCOPE_TABLE):
                     self.parse_error("unexpected-table-part-in-row")
                     return
-                self._clear_stack_to(frozenset(("tr", "html")))
+                self._clear_stack_to(_TR_CONTEXT)
                 self.open_elements.pop()
                 self.reprocess(token, "in-table-body")
                 return
@@ -2289,7 +2435,7 @@ class TreeBuilder:
                 if not self._in_scope("tr", SCOPE_TABLE):
                     self.parse_error("unexpected-end-tr")
                     return
-                self._clear_stack_to(frozenset(("tr", "html")))
+                self._clear_stack_to(_TR_CONTEXT)
                 self.open_elements.pop()
                 self.mode = "in-table-body"
                 return
@@ -2297,7 +2443,7 @@ class TreeBuilder:
                 if not self._in_scope("tr", SCOPE_TABLE):
                     self.parse_error("unexpected-end-table-in-row")
                     return
-                self._clear_stack_to(frozenset(("tr", "html")))
+                self._clear_stack_to(_TR_CONTEXT)
                 self.open_elements.pop()
                 self.reprocess(token, "in-table-body")
                 return
@@ -2307,7 +2453,7 @@ class TreeBuilder:
                     return
                 if not self._in_scope("tr", SCOPE_TABLE):
                     return
-                self._clear_stack_to(frozenset(("tr", "html")))
+                self._clear_stack_to(_TR_CONTEXT)
                 self.open_elements.pop()
                 self.reprocess(token, "in-table-body")
                 return
@@ -2411,7 +2557,7 @@ class TreeBuilder:
                 self._reset_insertion_mode()
                 self.reprocess(token)
                 return
-            if tag in ("script",):
+            if tag in ("script", "template"):
                 self._mode_dispatch(token, "in-head")
                 return
         if tt == "EndTag":
@@ -2440,6 +2586,9 @@ class TreeBuilder:
                     return
                 self._pop_until("select")
                 self._reset_insertion_mode()
+                return
+            if tag == "template":
+                self._mode_dispatch(token, "in-head")
                 return
         if tt == "EOF":
             self._mode_dispatch(token, "in-body")
@@ -2703,7 +2852,8 @@ _IN_BODY_SPECIAL_START = frozenset(
      "option", "rb", "rtc", "rp", "rt", "math", "svg", "pre", "listing",
      "area", "br", "embed", "img", "keygen", "wbr", "param", "source",
      "track", "base", "basefont", "bgsound", "link", "meta", "noframes",
-     "script", "style", "title", "caption", "col", "colgroup", "frame",
+     "script", "style", "template", "title", "caption", "col", "colgroup",
+     "frame",
      "head", "tbody", "td", "tfoot", "th", "thead", "tr", "applet",
      "marquee", "object"]
 ) | P_CLOSERS | HEADINGS | FORMATTING
@@ -2713,7 +2863,7 @@ _IN_BODY_SPECIAL_START = frozenset(
 # head-resident (in-head / after-head intercept them)
 _SCAFFOLD_SKIP = frozenset(
     "html head body frameset base basefont bgsound link meta title "
-    "noscript noframes style script".split()
+    "noscript noframes style script template".split()
 )
 
 # formatting tags the fused loop opens inline: plain reconstruct + insert +
@@ -2742,7 +2892,8 @@ def _has_open_a(af) -> bool:
 # br re-enters as a start tag, applet/marquee/object clear the formatting
 # list to a marker, and formatting tags take the adoption agency.
 _TURBO_END_SKIP = frozenset(
-    ["body", "html", "form", "br", "applet", "marquee", "object"]
+    ["body", "html", "form", "br", "applet", "marquee", "object",
+     "template"]
 ) | FORMATTING
 
 # in-cell additionally delegates every table-part end tag (cell close,
@@ -2757,6 +2908,7 @@ _MODES = {
     "before-head": TreeBuilder._mode_before_head,
     "in-head": TreeBuilder._mode_in_head,
     "in-head-noscript": TreeBuilder._mode_in_head_noscript,
+    "in-template": TreeBuilder._mode_in_template,
     "after-head": TreeBuilder._mode_after_head,
     "in-body": TreeBuilder._mode_in_body,
     "text": TreeBuilder._mode_text,

@@ -299,6 +299,8 @@ def test_fast_tag_path_matches_state_machine(attrs, tail):
     "<style>", "</style>", "<title>", "</title>", "<textarea>",
     "</textarea>", "<xmp>", "</xmp>", "var a<b;", "<!--x-->",
     "</script >", "</scriptx", "i<n&&j<k",
+    "<template>", "</template>", "<caption>", "</caption>",
+    "<colgroup>", "<col>", "<select>", "</select>", "<option>",
     "<!--c-->", "<!--a--b-->", "<form>", "</form>", "<button>", "</button>",
     "text ", "&amp;", "&hellip;", "&bogus;", "x&#65;y", " \n", "words here",
 ]), max_size=24).map("".join))
