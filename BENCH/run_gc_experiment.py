@@ -80,8 +80,10 @@ spark.stop()
 
 
 CONFIGS = {
-    # Java 17 default in local-mode Spark is G1 with default sizing
-    "default": "-",
+    # Java 17's default collector, pinned explicitly: get_spark now opts
+    # high-core local JVMs into ParallelGC (the winner of this experiment),
+    # so "-" would no longer measure G1
+    "default": "-XX:+UseG1GC",
     "parallel": "-XX:+UseParallelGC",
     "g1_tuned": "-XX:+UseG1GC -XX:G1HeapRegionSize=16m "
                 "-XX:InitiatingHeapOccupancyPercent=60",
