@@ -548,6 +548,32 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_text_cleanup(spark, sf_dir):
+    """C4-style corpus cleanup: control/zero-width strip, whitespace
+    collapse, mojibake counting — seeded dirty suffix on every 4th doc
+    (BEL, ZWSP, double-decoded 'é'), zero-shuffle JVM expressions. The
+    oracle rebuilds the same seed and regexes in DuckDB/RE2."""
+    from sparkhtml.spark.textstats import text_cleanup
+
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"),
+                     F.lit("\tx\x07y\u200bz  w\u00c3\u00a9")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = text_cleanup(dirty)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_ctrl",
+        "n_mojibake",
+        "n_removed",
+    )
+
+
 def _q_knn_join_ivf(spark, sf_dir):
     """IVF-bucketed batch k-NN join at FULL probe (n_probe = k): corpus
     rows equi-join on their cluster id against the exploded
@@ -900,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_filter": _q_training_filter,
         "knn_join": _q_knn_join,
         "knn_join_ivf": _q_knn_join_ivf,
+        "text_cleanup": _q_text_cleanup,
         "repetition_features": _q_repetition_features,
         "dup_coverage": _q_dup_coverage,
         "stream_extract": _q_stream_extract,
@@ -1274,6 +1301,26 @@ def oracle_sql() -> dict[str, str]:
             "DESC, e.vec_id) AS rk FROM embeddings e, q) "
             "SELECT query_id, vec_id, round(c, 3) AS cosine, "
             "rk::BIGINT AS rank FROM scored WHERE rk <= 5"
+        ),
+        "text_cleanup": (
+            # same seeded dirty suffix (chr: 9=TAB 7=BEL 8203=ZWSP
+            # 195/169 = 'Ã'/'©' double-decode pair); RE2 \x{...} escapes
+            # match the Java-regex classes used Spark-side
+            "WITH seeded AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+            "text || chr(9) || 'x' || chr(7) || 'y' || chr(8203) || "
+            "'z  w' || chr(195) || chr(169) ELSE text END AS t "
+            "FROM documents), "
+            "s2 AS (SELECT doc_id, t, regexp_replace(t, "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f"
+            "\\x{200b}-\\x{200d}\\x{feff}]', '', 'g') AS stripped FROM seeded), "
+            "s3 AS (SELECT doc_id, t, stripped, "
+            "trim(regexp_replace(stripped, '\\s+', ' ', 'g')) AS cleaned "
+            "FROM s2) "
+            "SELECT doc_id, md5(cleaned) AS clean_md5, "
+            "(length(t) - length(stripped))::BIGINT AS n_ctrl, "
+            "length(regexp_extract_all(t, chr(195) || "
+            "'[\\x{80}-\\x{bf}]'))::BIGINT AS n_mojibake, "
+            "(length(t) - length(cleaned))::BIGINT AS n_removed FROM s3"
         ),
         # full-probe IVF join ≡ exact join: same oracle
         "knn_join_ivf": (

@@ -128,6 +128,40 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.xxhash64(F.trim(norm)))
 
 
+# C0 controls minus \t\n (CR is normalized upstream), C1 controls, and
+# the zero-width/format characters that survive most scrapes
+_CTRL_RE = ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f"
+            "\u200b-\u200d\ufeff]")
+# UTF-8-read-as-Latin-1 mojibake: a 'Ã' lead byte followed by a
+# continuation-range character — the classic double-decode signature
+_MOJIBAKE_RE = "\u00c3[\u0080-\u00bf]"
+
+
+def text_cleanup(df: DataFrame, id_col: str = "doc_id",
+                 col: str = "text") -> DataFrame:
+    """C4/Gopher-style corpus cleanup: strip control + zero-width
+    characters, collapse whitespace runs, and emit repair signals —
+    ``n_ctrl`` (characters stripped), ``n_mojibake`` (UTF-8-as-Latin-1
+    double-decode signatures), and the cleaned text. Pure JVM
+    ``regexp_replace``/``length`` expressions: zero shuffle, zero Python,
+    whole-stage codegen — the same scan-local posture as
+    :func:`quality_features`."""
+    c = F.col(col)
+    stripped = F.regexp_replace(c, _CTRL_RE, "")
+    cleaned = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    n_ctrl = F.length(c) - F.length(stripped)
+    n_moji = F.size(
+        F.regexp_extract_all(c, F.lit(_MOJIBAKE_RE), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        n_ctrl.cast("bigint").alias("n_ctrl"),
+        n_moji.cast("bigint").alias("n_mojibake"),
+        (F.length(c) - F.length(cleaned)).cast("bigint").alias("n_removed"),
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", col: str = "text"
 ) -> DataFrame:

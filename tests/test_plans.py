@@ -182,6 +182,17 @@ def test_repetition_features_has_no_shuffle(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
 
 
+def test_text_cleanup_has_no_shuffle(spark):
+    """text_cleanup is per-row regexp work: scan-local, zero Exchange,
+    zero Python."""
+    from sparkhtml.spark.textstats import text_cleanup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(text_cleanup(docs))
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
 def test_cosine_neardup_norms_precomputed(spark):
     """cosine_near_dup_pairs must evaluate the O(dim) norm aggregate once
     per ROW (projected before the bucket self-join), not once per candidate

@@ -442,6 +442,26 @@ def test_media_decoders_unit():
     assert (arr[1, 0] == [255, 0, 0]).all()
 
 
+def test_text_cleanup(spark):
+    """Control/zero-width strip, whitespace collapse, mojibake count."""
+    from sparkhtml.spark.textstats import text_cleanup
+
+    rows = [
+        (1, "plain text"),
+        (2, "a\x07b\u200bc"),  # BEL + ZWSP stripped
+        (3, "x \t y\n\nz"),               # ws collapse
+        (4, "caf\u00c3\u00a9 na\u00c3\u00afve"),  # two mojibake pairs
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text_cleanup(df).collect()}
+    assert got[1].clean_text == "plain text" and got[1].n_ctrl == 0
+    assert got[2].clean_text == "abc" and got[2].n_ctrl == 2
+    assert got[3].clean_text == "x y z" and got[3].n_removed == 3
+    assert got[4].n_mojibake == 2
+    assert got[5].clean_text == "" and got[5].n_removed == 0
+
+
 def test_release_cached_unpersists_intermediates(spark):
     """The LSH operators cache multi-referenced intermediates;
     release_cached must unpersist them so long-lived sessions don't leak
