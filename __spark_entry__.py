@@ -548,6 +548,30 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_train_split(spark, sf_dir):
+    """Deterministic content-addressed train/val/test split (md5 hash
+    buckets, seed-versioned): a document's assignment is a pure function
+    of (seed, doc_id) — reproducible across runs, partitionings, and
+    engines. 5% test / 5% val."""
+    from sparkhtml.spark.sampling import train_split
+
+    return train_split(_docs(spark, sf_dir).select("doc_id")).select(
+        "doc_id", "split"
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsample (corpus rebalancing): en
+    halved, de quartered, others kept. Membership = hash(seed:id) <
+    fraction — exact-reproducible, unlike Bernoulli sampleBy."""
+    from sparkhtml.spark.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        docs, fractions={"en": 0.5, "de": 0.25}
+    ).select("doc_id", "lang")
+
+
 def _q_text_cleanup(spark, sf_dir):
     """C4-style corpus cleanup: control/zero-width strip, whitespace
     collapse, mojibake counting — seeded dirty suffix on every 4th doc
@@ -927,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "knn_join_ivf": _q_knn_join_ivf,
         "text_cleanup": _q_text_cleanup,
+        "train_split": _q_train_split,
+        "stratified_sample": _q_stratified_sample,
         "repetition_features": _q_repetition_features,
         "dup_coverage": _q_dup_coverage,
         "stream_extract": _q_stream_extract,
@@ -1301,6 +1327,20 @@ def oracle_sql() -> dict[str, str]:
             "DESC, e.vec_id) AS rk FROM embeddings e, q) "
             "SELECT query_id, vec_id, round(c, 3) AS cosine, "
             "rk::BIGINT AS rank FROM scored WHERE rk <= 5"
+        ),
+        "train_split": (
+            "SELECT doc_id, CASE WHEN h < 5 THEN 'test' "
+            "WHEN h < 10 THEN 'val' ELSE 'train' END AS split FROM ("
+            "SELECT doc_id, ('0x' || substr(md5('split-v1:' || "
+            "doc_id::VARCHAR), 1, 6))::BIGINT % 100 AS h FROM documents)"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, ('0x' || substr(md5('sample-v1:' || "
+            "doc_id::VARCHAR), 1, 6))::BIGINT % 10000 AS h, "
+            "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 "
+            "ELSE 1.0 END AS f FROM documents) "
+            "WHERE h < CAST(f * 10000 AS BIGINT)"
         ),
         "text_cleanup": (
             # same seeded dirty suffix (chr: 9=TAB 7=BEL 8203=ZWSP

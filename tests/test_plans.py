@@ -182,6 +182,18 @@ def test_repetition_features_has_no_shuffle(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
 
 
+def test_sampling_has_no_shuffle(spark):
+    """Split/sample are per-row hash expressions: scan-local, zero
+    Exchange, zero Python."""
+    from sparkhtml.spark.sampling import stratified_sample, train_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for q in (train_split(docs), stratified_sample(docs, fractions={"en": 0.5})):
+        p = plan(q)
+        assert "Exchange" not in p, p
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
 def test_text_cleanup_has_no_shuffle(spark):
     """text_cleanup is per-row regexp work: scan-local, zero Exchange,
     zero Python."""

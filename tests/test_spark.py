@@ -442,6 +442,39 @@ def test_media_decoders_unit():
     assert (arr[1, 0] == [255, 0, 0]).all()
 
 
+def test_train_split_and_stratified_sample(spark):
+    """Hash splits are deterministic (same seed ⇒ identical assignment),
+    seed-versioned (new seed re-deals), and close to nominal rates."""
+    from sparkhtml.spark.sampling import stratified_sample, train_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    a = {r.doc_id: r.split for r in train_split(docs).collect()}
+    b = {r.doc_id: r.split for r in train_split(docs).collect()}
+    assert a == b  # deterministic
+    c = {r.doc_id: r.split for r in train_split(docs, seed="v2").collect()}
+    assert a != c  # seed re-deals
+    n = len(a)
+    counts = {s: sum(1 for v in a.values() if v == s) for s in set(a.values())}
+    assert 0.01 < counts["test"] / n < 0.12
+    assert 0.01 < counts["val"] / n < 0.12
+    assert counts["train"] / n > 0.8
+
+    kept1 = {r.doc_id for r in stratified_sample(
+        docs, fractions={"en": 0.5}).collect()}
+    kept2 = {r.doc_id for r in stratified_sample(
+        docs, fractions={"en": 0.5}).collect()}
+    assert kept1 == kept2  # exact-reproducible membership
+    by_lang = {r.doc_id: r.lang for r in docs.collect()}
+    en_total = sum(1 for v in by_lang.values() if v == "en")
+    en_kept = sum(1 for d in kept1 if by_lang[d] == "en")
+    other_total = sum(1 for v in by_lang.values() if v != "en")
+    other_kept = sum(1 for d in kept1 if by_lang[d] != "en")
+    assert other_kept == other_total  # default 1.0 keeps everything else
+    assert 0.3 < en_kept / max(en_total, 1) < 0.7
+
+
 def test_text_cleanup(spark):
     """Control/zero-width strip, whitespace collapse, mojibake count."""
     from sparkhtml.spark.textstats import text_cleanup
