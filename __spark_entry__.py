@@ -548,6 +548,35 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_corpus_stats(spark, sf_dir):
+    """Per-language corpus report: doc counts, char/word totals, and
+    exact length percentiles (p50/p90/p99, R-7 interpolation — Spark
+    `percentile` and DuckDB `quantile_cont` agree bit-for-bit, probed).
+    One hash-aggregate with map-side partials; the percentile buffer is
+    per-(lang) and bounded. The shape every curation run reports before
+    and after filtering."""
+    docs = _docs(spark, sf_dir)
+    from sparkhtml.spark.textstats import word_count
+
+    base = docs.select(
+        "lang",
+        F.length("text").alias("_len"),
+        word_count("text").alias("_words"),
+    )
+    out = base.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_len").cast("bigint").alias("total_chars"),
+        F.sum("_words").cast("bigint").alias("total_words"),
+        F.expr("percentile(_len, array(0.5, 0.9, 0.99))").alias("_p"),
+    )
+    return out.select(
+        "lang", "n_docs", "total_chars", "total_words",
+        F.round(F.element_at("_p", 1), 4).alias("len_p50"),
+        F.round(F.element_at("_p", 2), 4).alias("len_p90"),
+        F.round(F.element_at("_p", 3), 4).alias("len_p99"),
+    )
+
+
 def _q_train_split(spark, sf_dir):
     """Deterministic content-addressed train/val/test split (md5 hash
     buckets, seed-versioned): a document's assignment is a pure function
@@ -953,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cleanup": _q_text_cleanup,
         "train_split": _q_train_split,
         "stratified_sample": _q_stratified_sample,
+        "corpus_stats": _q_corpus_stats,
         "repetition_features": _q_repetition_features,
         "dup_coverage": _q_dup_coverage,
         "stream_extract": _q_stream_extract,
@@ -1327,6 +1357,17 @@ def oracle_sql() -> dict[str, str]:
             "DESC, e.vec_id) AS rk FROM embeddings e, q) "
             "SELECT query_id, vec_id, round(c, 3) AS cosine, "
             "rk::BIGINT AS rank FROM scored WHERE rk <= 5"
+        ),
+        "corpus_stats": (
+            "WITH b AS (SELECT lang, length(text) AS l, "
+            "len(list_filter(string_split_regex(text, '\\s+'), "
+            "w -> w <> '')) AS w FROM documents) "
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "sum(l)::BIGINT AS total_chars, sum(w)::BIGINT AS total_words, "
+            "round(quantile_cont(l, 0.5), 4) AS len_p50, "
+            "round(quantile_cont(l, 0.9), 4) AS len_p90, "
+            "round(quantile_cont(l, 0.99), 4) AS len_p99 "
+            "FROM b GROUP BY lang"
         ),
         "train_split": (
             "SELECT doc_id, CASE WHEN h < 5 THEN 'test' "
