@@ -102,6 +102,41 @@ def test_stream_dedup_exact(spark, tmp_path):
     assert len(kept) == 2 and 3 in kept
 
 
+def test_stream_text_cleanup_matches_batch(spark, tmp_path):
+    """text_cleanup is stateless column algebra: identical on a
+    readStream and on the batch frame."""
+    from sparkhtml.spark.textstats import text_cleanup
+
+    in_dir = str(tmp_path / "tc_in")
+    out_dir = str(tmp_path / "tc_out")
+    ckpt = str(tmp_path / "tc_ckpt")
+    rows = [
+        ("a", "plain text"),
+        ("b", "a\x07b\u200bc  d"),
+        ("c", "caf\u00c3\u00a9 mojibake"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id string, text string").parquet(in_dir)
+    q = (
+        text_cleanup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    batch = {r.doc_id: r for r in text_cleanup(df).collect()}
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k].clean_text == batch[k].clean_text
+        assert got[k].n_ctrl == batch[k].n_ctrl
+        assert got[k].n_mojibake == batch[k].n_mojibake
+
+
 def test_stream_pii_scrub_matches_batch(spark, tmp_path):
     """scrub_pii is stateless column algebra, so it applies unchanged to a
     readStream and must agree with the batch result exactly."""
