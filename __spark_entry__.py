@@ -548,6 +548,36 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_extract_links(spark, sf_dir):
+    """Link-graph extraction + URL normalization: every doc wrapped in a
+    known nav (a root link + a per-doc absolute link with uppercase
+    scheme/host, default port and fragment), anchors pulled from the
+    parsed nodes table via the pre-order range join, hrefs normalized.
+    The oracle emits the same two links per doc in closed form."""
+    from sparkhtml.spark.links import extract_links_df, normalize_url
+    from sparkhtml.spark.pipeline import parse_nodes_df
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<nav><a href="/">home</a> <a href="HTTP://Example.COM:80/p'),
+        did,
+        F.lit('#sec">page '),
+        did,
+        F.lit("</a></nav><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+    )
+    nodes = parse_nodes_df(docs.select(did.alias("doc_id"), html.alias("html")))
+    links = extract_links_df(nodes)
+    return links.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "href",
+        "anchor_text",
+        normalize_url("href").alias("norm_url"),
+    )
+
+
 def _q_corpus_stats(spark, sf_dir):
     """Per-language corpus report: doc counts, char/word totals, and
     exact length percentiles (p50/p90/p99, R-7 interpolation — Spark
@@ -983,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "stratified_sample": _q_stratified_sample,
         "corpus_stats": _q_corpus_stats,
+        "extract_links": _q_extract_links,
         "repetition_features": _q_repetition_features,
         "dup_coverage": _q_dup_coverage,
         "stream_extract": _q_stream_extract,
@@ -1357,6 +1388,14 @@ def oracle_sql() -> dict[str, str]:
             "DESC, e.vec_id) AS rk FROM embeddings e, q) "
             "SELECT query_id, vec_id, round(c, 3) AS cosine, "
             "rk::BIGINT AS rank FROM scored WHERE rk <= 5"
+        ),
+        "extract_links": (
+            "SELECT doc_id, '/' AS href, 'home' AS anchor_text, "
+            "'/' AS norm_url FROM documents "
+            "UNION ALL SELECT doc_id, "
+            "'HTTP://Example.COM:80/p' || doc_id || '#sec' AS href, "
+            "'page ' || doc_id AS anchor_text, "
+            "'http://example.com/p' || doc_id AS norm_url FROM documents"
         ),
         "corpus_stats": (
             "WITH b AS (SELECT lang, length(text) AS l, "

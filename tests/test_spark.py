@@ -442,6 +442,45 @@ def test_media_decoders_unit():
     assert (arr[1, 0] == [255, 0, 0]).all()
 
 
+def test_extract_links_and_normalize_url(spark):
+    """Anchor extraction off the nodes table (pre-order range join):
+    nested markup flattens to document-order anchor text, href-less
+    anchors drop, text-less anchors keep an empty string; URL
+    normalization is idempotent crawl algebra."""
+    from sparkhtml.spark.links import extract_links_df, normalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("1", '<a href="/">home</a><a href="/empty"></a>'
+                  '<p><a href=/n>n1<i>i</i>n2</a></p><a name=x>skip</a>'),
+            ("2", "<div>no links at all</div>"),
+        ],
+        ["doc_id", "html"],
+    )
+    out = {(r.doc_id, r.href): r.anchor_text
+           for r in extract_links_df(parse_nodes_df(df)).collect()}
+    assert out == {("1", "/"): "home", ("1", "/empty"): "",
+                   ("1", "/n"): "n1in2"}
+
+    cases = {
+        "HTTP://Example.COM:80/Path?q=1#frag": "http://example.com/Path?q=1",
+        "https://a.b:443/": "https://a.b",
+        "https://a.b/x?": "https://a.b/x",
+        "http://h:8080/x": "http://h:8080/x",  # non-default port kept
+        "relative/path": "relative/path",
+        "https://Host.com": "https://host.com",
+    }
+    urls = spark.createDataFrame([(u,) for u in cases], ["u"])
+    got = {r.u: r.n for r in
+           urls.select("u", normalize_url("u").alias("n")).collect()}
+    assert got == cases
+    # idempotent: normalizing a normalized url is a no-op
+    urls2 = spark.createDataFrame([(v,) for v in cases.values()], ["u"])
+    got2 = {r.u: r.n for r in
+            urls2.select("u", normalize_url("u").alias("n")).collect()}
+    assert all(k == v for k, v in got2.items())
+
+
 def test_train_split_and_stratified_sample(spark):
     """Hash splits are deterministic (same seed ⇒ identical assignment),
     seed-versioned (new seed re-deals), and close to nominal rates."""
