@@ -548,6 +548,32 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters via distributed min-label propagation over a
+    deterministic edge list (every 3rd doc links to (id*2+6) mod 300,
+    chains + merges included), joined back to the corpus: (doc_id,
+    cluster, is_canonical). The oracle computes the same transitive
+    closure with a recursive CTE — exact cross-engine equality of the
+    component structure."""
+    from sparkhtml.spark.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("a"),
+            ((F.col("doc_id") * 2 + 6) % 300).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    out = dedup_clusters(docs, edges)
+    return out.select(
+        "doc_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("is_canonical").cast("int").alias("is_canonical"),
+    )
+
+
 def _q_extract_links(spark, sf_dir):
     """Link-graph extraction + URL normalization: every doc wrapped in a
     known nav (a root link + a per-doc absolute link with uppercase
@@ -1014,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "corpus_stats": _q_corpus_stats,
         "extract_links": _q_extract_links,
+        "dedup_clusters": _q_dedup_clusters,
         "repetition_features": _q_repetition_features,
         "dup_coverage": _q_dup_coverage,
         "stream_extract": _q_stream_extract,
@@ -1388,6 +1415,21 @@ def oracle_sql() -> dict[str, str]:
             "DESC, e.vec_id) AS rk FROM embeddings e, q) "
             "SELECT query_id, vec_id, round(c, 3) AS cosine, "
             "rk::BIGINT AS rank FROM scored WHERE rk <= 5"
+        ),
+        "dedup_clusters": (
+            # same arithmetic edges; component min via recursive
+            # transitive closure over the symmetric edge relation
+            "WITH RECURSIVE edges AS (SELECT doc_id AS a, "
+            "(doc_id * 2 + 6) % 300 AS b FROM documents "
+            "WHERE doc_id % 3 = 0 AND doc_id <> (doc_id * 2 + 6) % 300), "
+            "sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges), "
+            "reach(id, r) AS (SELECT a, a FROM sym UNION "
+            "SELECT s.a, t.r FROM sym s JOIN reach t ON t.id = s.b), "
+            "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id) "
+            "SELECT d.doc_id, coalesce(c.component, d.doc_id)::BIGINT "
+            "AS cluster, (CASE WHEN coalesce(c.component, d.doc_id) = "
+            "d.doc_id THEN 1 ELSE 0 END)::INT AS is_canonical "
+            "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"
         ),
         "extract_links": (
             "SELECT doc_id, '/' AS href, 'home' AS anchor_text, "

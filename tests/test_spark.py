@@ -442,6 +442,44 @@ def test_media_decoders_unit():
     assert (arr[1, 0] == [255, 0, 0]).all()
 
 
+def test_connected_components_chain_clique_singleton(spark):
+    """Pointer-jump label propagation: a 40-edge chain (worst diameter),
+    a clique, a pair — all collapse to component-min labels; corpus rows
+    with no pair stay singleton canonicals via dedup_clusters."""
+    from sparkhtml.spark.graph import connected_components, dedup_clusters
+
+    edges = ([(i, i + 1) for i in range(0, 40)]
+             + [(100, 101), (101, 102), (100, 102)] + [(200, 300)])
+    df = spark.createDataFrame(edges, ["a", "b"])
+    comp = {r.id: r.component for r in connected_components(df).collect()}
+    assert all(comp[i] == 0 for i in range(41))
+    assert comp[100] == comp[101] == comp[102] == 100
+    assert comp[200] == comp[300] == 200
+
+    corpus = spark.range(0, 310).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: (r.cluster, r.is_canonical)
+           for r in dedup_clusters(corpus, df).collect()}
+    assert out[5] == (0, False) and out[0] == (0, True)
+    assert out[250] == (250, True)
+
+
+def test_minhash_pairs_to_clusters_end_to_end(spark):
+    """The full dedup pipeline story: LSH pairs → connected components →
+    canonical representative per near-dup cluster."""
+    from sparkhtml.spark.dedup import minhash_lsh_pairs
+    from sparkhtml.spark.graph import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base), (3, base), (4, "unrelated text about spark "
+            "engines and columnar parquet files at scale")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, min_agree=0.99).select("a", "b")
+    out = {r.doc_id: (r.cluster, r.is_canonical)
+           for r in dedup_clusters(df, pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True)
+
+
 def test_extract_links_and_normalize_url(spark):
     """Anchor extraction off the nodes table (pre-order range join):
     nested markup flattens to document-order anchor text, href-less
