@@ -32,6 +32,8 @@ def main() -> None:
     from sparkhtml.spark.session import get_spark
     from sparkhtml.spark.pipeline import extract_spans_df, parse_nodes_df
     from sparkhtml.spark.queries import css_select_df
+    from sparkhtml.spark import links as _links
+    from sparkhtml.spark import textstats as _textstats
     from sparkhtml.spark.dedup import minhash_lsh_pairs
     from sparkhtml.spark.similarity import cosine_topk
     from sparkhtml.spark.textstats import quality_features
@@ -85,6 +87,13 @@ def main() -> None:
         "q5_cosine_topk": lambda: cosine_topk(emb, qv, 10).collect(),
         # q6: JVM-side text-quality features
         "q6_quality_features": lambda: noop_write(quality_features(docs)),
+        # q7: link-graph extraction off the (cached) nodes table — the
+        # one-parse-serves-all reuse path
+        "q7_extract_links": lambda: noop_write(
+            _links.extract_links_df(nodes_cached)
+        ),
+        # q8: zero-shuffle corpus hygiene pass
+        "q8_text_cleanup": lambda: noop_write(_textstats.text_cleanup(docs)),
     }
 
     # INTERLEAVED best-of-N (VERDICT r2 "wrong" #4): round-robin the whole
