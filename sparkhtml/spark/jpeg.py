@@ -1,0 +1,619 @@
+"""Baseline-sequential JPEG codec in pure numpy (no dependencies).
+
+Decoder scope (the overwhelming majority of web JPEGs): baseline DCT
+(SOF0), 8-bit, grayscale or YCbCr with sampling factors 1 or 2 per axis
+(4:4:4, 4:2:2, 4:2:0), restart markers, multiple DQT/DHT segments.
+Progressive (SOF2), arithmetic coding and 12-bit are rejected with a
+ValueError (the per-row error channel in multimodal.py surfaces them).
+
+The encoder exists for testing: it emits 4:4:4 / grayscale baseline
+JPEGs with the Annex-K standard tables, so decode∘encode round-trips
+bound the reconstruction error by the quantization step — and a
+hand-constructed single-block stream pins the decoder against numbers
+worked out by hand, independent of the encoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zig-zag order (index i of the zig-zag sequence → natural position)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# Annex K standard quantization tables (luminance, chrominance)
+STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+STD_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+# Annex K standard huffman tables: (bits[1..16], huffval)
+STD_DC_LUMA = (
+    [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_DC_CHROMA = (
+    [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_AC_LUMA = (
+    [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+STD_AC_CHROMA = (
+    [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# 8-point DCT-II basis matrix: A[k, n] = c(k) cos((2n+1)kπ/16)
+_N = np.arange(8)
+_A = np.sqrt(2.0 / 8.0) * np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16)
+_A[0, :] = np.sqrt(1.0 / 8.0)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _A.T @ block @ _A
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _A @ block @ _A.T
+
+
+def _build_huff_decode(bits: list[int], huffval: list[int]):
+    """(code → (length, value)) lookup as dict keyed by (length, code)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[(length, code)] = huffval[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 destuffing
+    and restart-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                # marker (EOI / next segment): pad with 1-bits per spec
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume a restart marker at the current byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        # skip to the FF Dx pair
+        while d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("bad JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    # receive/extend: map t-bit magnitude to signed value
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W, 3) uint8 RGB."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    pos = 2
+    n = len(payload)
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                nat = np.zeros(64, dtype=np.int32)
+                nat[ZIGZAG] = tbl
+                qt[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = [0] + list(body[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17 : i + 17 + cnt])
+                tab = _build_huff_decode(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tab
+                i += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = body[0], struct.unpack_from(">H", body, 1)[0], \
+                struct.unpack_from(">H", body, 3)[0], body[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG mode (progressive/arith)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            data_pos = pos + 2 + seglen
+            return _decode_scan(
+                payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS")
+
+
+def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval):
+    h, w = frame["h"], frame["w"]
+    comps = [s[0] for s in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("unsupported JPEG sampling factors")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for c in comps:
+        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    reader = _BitReader(payload, data_pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_restart()
+                preds = [0] * len(comps)
+            try:
+                for ci, (comp, td, ta) in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            coeffs = np.zeros(64, dtype=np.int32)
+                            t = _huff_decode(reader, huff_dc[td])
+                            diff = _extend(reader.read_bits(t), t)
+                            preds[ci] += diff
+                            coeffs[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, huff_ac[ta])
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC overflow")
+                                coeffs[k] = _extend(reader.read_bits(s), s)
+                                k += 1
+                            nat = np.zeros(64, dtype=np.float64)
+                            nat[ZIGZAG] = coeffs
+                            block = nat.reshape(8, 8) * qt[comp["tq"]]
+                            px = _idct2(block) + 128.0
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            except _RestartMarker:
+                raise ValueError("unexpected JPEG restart marker")
+            mcu_count += 1
+    # upsample to full res and convert
+    full = []
+    for c, plane in zip(comps, planes):
+        if c["h"] != hmax:
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        if c["v"] != vmax:
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------------- encoder
+
+
+def _build_huff_encode(bits, huffval):
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            enc[huffval[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _mag(v: int):
+    """(category, magnitude-bits) for a signed coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    bits = v if v > 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def encode_jpeg(arr: np.ndarray, quality_scale: int = 1,
+                subsample: bool = False) -> bytes:
+    """Minimal baseline JPEG writer: grayscale (H,W) / (H,W,1) or RGB
+    (H,W,3) as YCbCr 4:4:4 (or 4:2:0 with ``subsample=True``), Annex-K
+    tables divided by ``quality_scale`` (higher = finer quantization).
+    For tests — the 4:2:0 mode exists to round-trip the decoder's MCU
+    interleave + chroma upsample path."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    gray = nc == 1
+    if subsample and not gray:
+        return _encode_420(arr, quality_scale)
+    lq = np.maximum(STD_LUMA_Q // quality_scale, 1)
+    cq = np.maximum(STD_CHROMA_Q // quality_scale, 1)
+    if gray:
+        planes = [arr[:, :, 0].astype(np.float64) - 128.0]
+        qts = [lq]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [lq, cq, cq]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    zz_l = np.zeros(64, dtype=np.int32)
+    zz_l[np.arange(64)] = lq.reshape(-1)[ZIGZAG]
+    seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_l))
+    if not gray:
+        zz_c = np.zeros(64, dtype=np.int32)
+        zz_c[np.arange(64)] = cq.reshape(-1)[ZIGZAG]
+        seg(0xDB, bytes([0x01]) + bytes(int(x) for x in zz_c))
+
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    seg(0xC0, sof)
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return bytes([(tc << 4) | th] + bits[1:] + vals)
+
+    seg(0xC4, dht(0, 0, STD_DC_LUMA))
+    seg(0xC4, dht(1, 0, STD_AC_LUMA))
+    if not gray:
+        seg(0xC4, dht(0, 1, STD_DC_CHROMA))
+        seg(0xC4, dht(1, 1, STD_AC_CHROMA))
+
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    enc_dc = [_build_huff_encode(*STD_DC_LUMA), _build_huff_encode(*STD_DC_CHROMA)]
+    enc_ac = [_build_huff_encode(*STD_AC_LUMA), _build_huff_encode(*STD_AC_CHROMA)]
+    writer = _BitWriter()
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    preds = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                plane, q = planes[ci], qts[ci]
+                tid = 0 if ci == 0 else 1
+                blk = np.zeros((8, 8), dtype=np.float64)
+                ys, xs = by * 8, bx * 8
+                src = plane[ys : ys + 8, xs : xs + 8]
+                blk[: src.shape[0], : src.shape[1]] = src
+                # edge replicate pad
+                if src.shape[0] < 8:
+                    blk[src.shape[0] :, : src.shape[1]] = src[-1:, :]
+                if src.shape[1] < 8:
+                    blk[:, src.shape[1] :] = blk[:, src.shape[1] - 1 : src.shape[1]]
+                coeffs = np.round(_fdct2(blk) / q).astype(np.int32)
+                zz = coeffs.reshape(-1)[ZIGZAG]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                t, bits_v = _mag(diff)
+                code, ln = enc_dc[tid][t]
+                writer.write(code, ln)
+                if t:
+                    writer.write(bits_v, t)
+                run = 0
+                last_nz = 0
+                for k in range(1, 64):
+                    if zz[k] != 0:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[tid][0xF0]
+                        writer.write(code, ln)
+                        run -= 16
+                    t, bits_v = _mag(v)
+                    code, ln = enc_ac[tid][(run << 4) | t]
+                    writer.write(code, ln)
+                    writer.write(bits_v, t)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = enc_ac[tid][0x00]
+                    writer.write(code, ln)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _encode_420(arr: np.ndarray, quality_scale: int) -> bytes:
+    """4:2:0 variant: Y at full res (2x2 blocks per MCU), Cb/Cr box-filtered
+    2x downsampled (1 block per MCU)."""
+    h, w, _ = arr.shape
+    lq = np.maximum(STD_LUMA_Q // quality_scale, 1)
+    cq = np.maximum(STD_CHROMA_Q // quality_scale, 1)
+    rgb = arr.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def pad_to(p: np.ndarray, mh: int, mw: int) -> np.ndarray:
+        out = np.zeros((mh, mw), dtype=np.float64)
+        out[: p.shape[0], : p.shape[1]] = p
+        if p.shape[0] < mh:
+            out[p.shape[0]:, : p.shape[1]] = p[-1:, :]
+        if p.shape[1] < mw:
+            out[:, p.shape[1]:] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    mcus_x, mcus_y = (w + 15) // 16, (h + 15) // 16
+    yp = pad_to(y, mcus_y * 16, mcus_x * 16)
+    # box-filter 2x downsample on the padded plane
+    cbp = pad_to(cb, mcus_y * 16, mcus_x * 16)
+    crp = pad_to(cr, mcus_y * 16, mcus_x * 16)
+    cbd = cbp.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+    crd = crp.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    for tq, q in ((0, lq), (1, cq)):
+        zz = np.zeros(64, dtype=np.int32)
+        zz[np.arange(64)] = q.reshape(-1)[ZIGZAG]
+        seg(0xDB, bytes([tq]) + bytes(int(x) for x in zz))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0])  # Y: h=2 v=2
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    seg(0xC0, sof)
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return bytes([(tc << 4) | th] + bits[1:] + vals)
+
+    seg(0xC4, dht(0, 0, STD_DC_LUMA))
+    seg(0xC4, dht(1, 0, STD_AC_LUMA))
+    seg(0xC4, dht(0, 1, STD_DC_CHROMA))
+    seg(0xC4, dht(1, 1, STD_AC_CHROMA))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    enc_dc = [_build_huff_encode(*STD_DC_LUMA), _build_huff_encode(*STD_DC_CHROMA)]
+    enc_ac = [_build_huff_encode(*STD_AC_LUMA), _build_huff_encode(*STD_AC_CHROMA)]
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+
+    def emit_block(plane, y0, x0, q, tid, ci):
+        blk = plane[y0 : y0 + 8, x0 : x0 + 8]
+        coeffs = np.round(_fdct2(blk) / q).astype(np.int32)
+        zz = coeffs.reshape(-1)[ZIGZAG]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        t, bits_v = _mag(diff)
+        code, ln = enc_dc[tid][t]
+        writer.write(code, ln)
+        if t:
+            writer.write(bits_v, t)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if zz[k] != 0:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[tid][0xF0]
+                writer.write(code, ln)
+                run -= 16
+            t, bits_v = _mag(v)
+            code, ln = enc_ac[tid][(run << 4) | t]
+            writer.write(code, ln)
+            writer.write(bits_v, t)
+            run = 0
+        if last_nz < 63:
+            code, ln = enc_ac[tid][0x00]
+            writer.write(code, ln)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(2):
+                for bx in range(2):
+                    emit_block(yp, my * 16 + by * 8, mx * 16 + bx * 8, lq, 0, 0)
+            emit_block(cbd, my * 8, mx * 8, cq, 1, 1)
+            emit_block(crd, my * 8, mx * 8, cq, 1, 2)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

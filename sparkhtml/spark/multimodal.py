@@ -357,6 +357,10 @@ def _decode_real(payload: bytes, mime: str, dim: int) -> np.ndarray:
         return image_features(decode_ppm(p), dim)
     if p.startswith(b"\x89PNG\r\n\x1a\n"):
         return image_features(decode_png(p), dim)
+    if p.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(p), dim)
     if p.startswith(b"BM"):
         return image_features(decode_bmp(p), dim)
     if p.startswith(b"RIFF"):
@@ -453,15 +457,28 @@ def make_real_payload(doc_id: int) -> tuple[str, str, bytes, int | None]:
     import struct
 
     m = doc_id % 4
-    if m == 0:  # 8x8 solid color: PPM and PNG alternate (same features,
-        # so the closed-form oracle is container-agnostic); the PNG rows
-        # cycle through all five scanline filters
+    if m == 0:  # 8x8 solid color: PPM / PNG / JPEG cycle (same features
+        # for every container, so the closed-form oracle is
+        # container-agnostic). PNG rows cycle all five scanline filters;
+        # JPEG rows are quality_scale=16 baseline — DC quant step 1, so
+        # a solid color reconstructs EXACTLY (pinned by the
+        # solid-color sweep in tests)
         r, g, b = doc_id % 256, (3 * doc_id) % 256, (7 * doc_id) % 256
-        if (doc_id // 4) % 2:
+        container = (doc_id // 4) % 3
+        if container == 1:
             arr = np.full((8, 8, 3), (r, g, b), dtype=np.uint8)
             return (
                 "image", "image/png",
                 encode_png(arr, filter_type=(doc_id // 8) % 5), None,
+            )
+        if container == 2:
+            from .jpeg import encode_jpeg
+
+            arr = np.full((8, 8, 3), (r, g, b), dtype=np.uint8)
+            return (
+                "image", "image/jpeg",
+                encode_jpeg(arr, quality_scale=16,
+                            subsample=bool((doc_id // 12) % 2)), None,
             )
         return (
             "image", "image/x-portable-pixmap",

@@ -629,6 +629,72 @@ def test_png_decode_roundtrip():
         decode_png(pay)
 
 
+def test_jpeg_codec():
+    """Baseline JPEG decoder: (1) pinned against a HAND-CONSTRUCTED
+    single-block stream (DC-only, all-ones quant — every pixel must be
+    exactly 136, numbers worked out by hand, independent of the
+    encoder); (2) encode∘decode round-trips bounded by the quantization
+    step for gray/4:4:4/4:2:0; (3) solid colors exact at fine
+    quantization (the property the media oracle relies on); (4)
+    progressive and junk rejected via ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkhtml.spark.jpeg import (
+        STD_AC_LUMA, STD_DC_LUMA, decode_jpeg, encode_jpeg,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return bytes([(tc << 4) | th] + bits[1:] + vals)
+
+    hand = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, dht(0, 0, STD_DC_LUMA))
+        + seg(0xC4, dht(1, 0, STD_AC_LUMA))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        # '11110' (DC cat 7) + '1000000' (64) + '1010' (EOB), 1-padded
+        + bytes([0b11110100, 0b00001010])
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(hand)
+    assert out.shape == (8, 8, 3) and (out == 136).all()
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(img, quality_scale=16))
+    assert np.abs(got[:, :, 0].astype(int) - img.astype(int)).max() <= 8
+
+    yy, xx = np.mgrid[0:33, 0:22]
+    rgbimg = np.stack(
+        [(yy * 4) % 256, (xx * 6) % 256, ((yy + xx) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    for sub in (False, True):
+        got = decode_jpeg(encode_jpeg(rgbimg, quality_scale=16, subsample=sub))
+        assert got.shape == rgbimg.shape
+        err = np.abs(got.astype(int) - rgbimg.astype(int))
+        assert err.max() <= (12 if sub else 6), (sub, err.max())
+
+    for c in ((0, 0, 0), (255, 255, 255), (200, 100, 50), (13, 250, 7)):
+        solid = np.full((8, 8, 3), c, dtype=np.uint8)
+        for sub in (False, True):
+            got = decode_jpeg(encode_jpeg(solid, quality_scale=16,
+                                          subsample=sub))
+            assert (got == c).all(), (c, sub)
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x00" * 9)  # SOF2
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
 def test_selector_plan_parity_postop_pseudos(spark):
     """DataFrame-plan coverage for :empty, :not(complex), :link, :checked,
     :enabled/:disabled (fieldset propagation incl. first-legend carve-out)
