@@ -361,6 +361,10 @@ def _decode_real(payload: bytes, mime: str, dim: int) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return image_features(decode_jpeg(p), dim)
+    if p.startswith((b"GIF87a", b"GIF89a")):
+        from .gif import decode_gif
+
+        return image_features(decode_gif(p), dim)
     if p.startswith(b"BM"):
         return image_features(decode_bmp(p), dim)
     if p.startswith(b"RIFF"):
@@ -457,14 +461,14 @@ def make_real_payload(doc_id: int) -> tuple[str, str, bytes, int | None]:
     import struct
 
     m = doc_id % 4
-    if m == 0:  # 8x8 solid color: PPM / PNG / JPEG cycle (same features
-        # for every container, so the closed-form oracle is
+    if m == 0:  # 8x8 solid color: PPM / PNG / JPEG / GIF cycle (same
+        # features for every container, so the closed-form oracle is
         # container-agnostic). PNG rows cycle all five scanline filters;
         # JPEG rows are quality_scale=16 baseline — DC quant step 1, so
         # a solid color reconstructs EXACTLY (pinned by the
         # solid-color sweep in tests)
         r, g, b = doc_id % 256, (3 * doc_id) % 256, (7 * doc_id) % 256
-        container = (doc_id // 4) % 3
+        container = (doc_id // 4) % 4
         if container == 1:
             arr = np.full((8, 8, 3), (r, g, b), dtype=np.uint8)
             return (
@@ -480,6 +484,11 @@ def make_real_payload(doc_id: int) -> tuple[str, str, bytes, int | None]:
                 encode_jpeg(arr, quality_scale=16,
                             subsample=bool((doc_id // 12) % 2)), None,
             )
+        if container == 3:
+            from .gif import decode_gif, encode_gif  # noqa: F401
+
+            arr = np.full((8, 8, 3), (r, g, b), dtype=np.uint8)
+            return ("image", "image/gif", encode_gif(arr), None)
         return (
             "image", "image/x-portable-pixmap",
             b"P6\n8 8\n255\n" + bytes([r, g, b]) * 64, None,

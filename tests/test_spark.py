@@ -629,6 +629,37 @@ def test_png_decode_roundtrip():
         decode_png(pay)
 
 
+def test_gif_codec():
+    """GIF LZW decoder: lossless round-trips through the uncompressed-
+    literal-code test encoder across palette sizes (code-width growth to
+    12 bits and frozen dictionary), interlace row ordering, errors."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkhtml.spark.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    img = rng.choice(
+        np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]],
+                 dtype=np.uint8),
+        size=(13, 9),
+    )
+    assert (decode_gif(encode_gif(img)) == img).all()
+    assert (decode_gif(encode_gif(img, interlaced=True)) == img).all()
+
+    idx = rng.integers(0, 200, size=(40, 50)).astype(np.int32)
+    pal = rng.integers(0, 256, size=(200, 3)).astype(np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+    big = rng.integers(0, 256, size=(80, 80)).astype(np.int32)
+    pal256 = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+    assert (decode_gif(encode_gif(big, pal256)) == pal256[big]).all()
+
+    for junk in (b"GIF89a\x00", b"notagif", b"GIF89a" + b"\x00" * 7):
+        with _pytest.raises(ValueError):
+            decode_gif(junk)
+
+
 def test_jpeg_codec():
     """Baseline JPEG decoder: (1) pinned against a HAND-CONSTRUCTED
     single-block stream (DC-only, all-ones quant — every pixel must be
