@@ -547,6 +547,60 @@ class TreeBuilder:
                         break  # uppercase / attr-ful / EOF end tag: slow
                     name = m.group(1)
                     top = oe[-1]
+                    if (
+                        mode0 == "in-cell"
+                        and (name == "td" or name == "th")
+                        and top.tag == name
+                        and top.ns == NS_HTML
+                        and af
+                        and af[-1] is MARKER
+                    ):
+                        # inline cell close: current node IS the cell (no
+                        # implied end tags, no error) and the AFE top is
+                        # the cell's marker (clear-to-marker = one pop).
+                        # Row interiors are </td><td> chains — handling
+                        # the boundary inline skips two turbo exits + two
+                        # megaswitch dispatches per cell.
+                        oe.pop()
+                        af.pop()
+                        i = m.end()
+                        # immediately-following sibling cell? replicate
+                        # the in-row td/th start (clear-to-tr-context is
+                        # a no-op when current is the tr, checked below)
+                        nxt = None
+                        if s.startswith("<", i) and not s.startswith("</", i):
+                            m2 = end_match(s, i + 1)
+                            if m2 is not None:
+                                if m2.group(1) in ("td", "th"):
+                                    nxt = (m2.group(1), [], False, m2.end())
+                            else:
+                                hit2 = fast_tag(s, i + 1)
+                                if hit2 is not None and hit2[0] in ("td", "th"):
+                                    nxt = hit2
+                        cur = oe[-1] if oe else None
+                        if (
+                            nxt is not None
+                            and cur is not None
+                            and cur.tag == "tr"
+                            and cur.ns == NS_HTML
+                        ):
+                            name2, attrs2, sc2, end2 = nxt
+                            tk.last_start_tag = name2
+                            if len(oe) < md:
+                                el = Node(ELEMENT, name2, NS_HTML, attrs2)
+                                el.parent = cur
+                                cur.children.append(el)
+                                oe.append(el)
+                            else:
+                                self.parse_error("depth-limit-exceeded")
+                            af.append(MARKER)
+                            i = end2
+                            continue
+                        # anything else follows: hand off in in-row mode
+                        self.mode = "in-row"
+                        tk.i = i
+                        self.frameset_ok = frameset_ok
+                        return True
                     if top.tag == name and top.ns == NS_HTML:
                         if name not in end_skip and len(oe) > 1:
                             # 'any other end tag' (and the p/li/heading/
