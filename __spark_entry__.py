@@ -241,6 +241,57 @@ def _q_css_pseudo_plan(spark, sf_dir):
     )
 
 
+def _q_css_chain_plan(spark, sf_dir):
+    """≥2-combinator selector chains as DataFrame plans (round-5 fix:
+    left-to-right accumulation in _complex_df; WebKit-suite shapes —
+    mixed descendant/child chains through class+attr+id compounds) over a
+    known built structure with exact constant per-doc counts."""
+    from sparkhtml.spark.pipeline import parse_nodes_df
+    from sparkhtml.spark.queries import css_select_df
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            "<div><div id=w1 class='wrap-class'>"
+            "<ul class='some-class'>"
+            "<li data-bar=x class='some-class other'>"
+        ),
+        F.col("text"),
+        F.lit(
+            "</li><li class='other'>y</li></ul>"
+            "<div class='some-class'><a class='other-class'>"
+            "<div class='another-class'><div><p class='result-class'>z</p>"
+            "</div></div></a></div></div></div>"
+            "<form name='f'><div><div><input name='fi'></div></div></form>"
+        ),
+    )
+    nodes = parse_nodes_df(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    html.alias("html"))
+    )
+    out = None
+    for name, sel in [
+        ("n_chain", "html body div>#w1 .some-class li[data-bar].some-class"),
+        ("n_result", "div div.some-class a.other-class div.another-class "
+                     "div p.result-class"),
+        ("n_form", "form[name='f']>div>div>input[name='fi']"),
+        ("n_li", "#w1 ul.some-class > li"),
+        ("n_misorder", "form div form input"),  # unordered: must be 0
+    ]:
+        c = (
+            css_select_df(nodes, sel)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+        out = c if out is None else out.join(c, "doc_id", "left")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_chain", "n_result", "n_form",
+        "n_li",
+        F.coalesce("n_misorder", F.lit(0)).cast("bigint").alias("n_misorder"),
+    )
+
+
 def _q_exact_dup_groups(spark, sf_dir):
     """Exact dedup over a corpus with injected duplicates (doc_id%10==0
     duplicated at id+1000000)."""
@@ -1015,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "css_child_plan": _q_css_child_plan,
         "css_sibling_plan": _q_css_sibling_plan,
         "css_pseudo_plan": _q_css_pseudo_plan,
+        "css_chain_plan": _q_css_chain_plan,
         "exact_dup_groups": _q_exact_dup_groups,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1257,6 +1309,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 1::BIGINT AS n_checked, 2::BIGINT AS n_disabled, "
             "3::BIGINT AS n_enabled, 1::BIGINT AS n_empty, "
             "1::BIGINT AS n_link FROM documents"
+        ),
+        "css_chain_plan": (
+            "SELECT doc_id, 1::BIGINT AS n_chain, 1::BIGINT AS n_result, "
+            "1::BIGINT AS n_form, 2::BIGINT AS n_li, "
+            "0::BIGINT AS n_misorder FROM documents"
         ),
         "exact_dup_groups": (
             "SELECT doc_id AS keep_id, 2::BIGINT AS n_dups FROM documents "

@@ -381,14 +381,17 @@ def _elements_mask(dom: FlatDOM) -> list[bool]:
 
 
 def _match_complex(dom: FlatDOM, cx: Complex) -> list[bool]:
-    """Right-to-left evaluation: start with the rightmost compound's mask,
-    then for each combinator constrain by the ancestor-side mask — sibling
-    windows and parent joins, not per-node DFS re-walks."""
-    mask = _match_compound(dom, cx.compounds[-1])
-    for k in range(len(cx.combinators) - 1, -1, -1):
-        comb = cx.combinators[k]
-        left = _match_compound(dom, cx.compounds[k])
-        mask = _apply_combinator(dom, left, comb, mask)
+    """Left-to-right accumulation: the running mask after step k holds the
+    nodes matching compound k that have a valid *ordered* chain through
+    compounds 0..k-1. (Round-5 fix: the old right-to-left loop kept the
+    mask anchored at the rightmost compound, so ≥2-combinator chains like
+    ``form>div>div`` tested every leftward constraint against the same
+    rightmost nodes — intermediate links were never required to connect,
+    and descendant chains ignored ancestor ordering.)"""
+    mask = _match_compound(dom, cx.compounds[0])
+    for k in range(len(cx.combinators)):
+        right = _match_compound(dom, cx.compounds[k + 1])
+        mask = _apply_combinator(dom, mask, cx.combinators[k], right)
     return mask
 
 

@@ -1,10 +1,19 @@
-"""The extraction pipeline: Arrow-batched mapInPandas stages + scalar UDFs.
+"""The extraction pipeline: Arrow-batched mapInArrow stages + scalar UDFs.
 
 This is the Spark realization of the reference's entry points
 (HTMLDocument.m:12-44 → HTMLParser.m:3331-3347), at the reference's own
 granularity — one parser per document — amortized over Arrow batches
 (SURVEY.md §3.2 "Spark mapping"). No per-row Python UDFs anywhere; every
-stage is ``mapInPandas`` or a Series→Series ``pandas_udf``.
+stage is ``mapInArrow`` / ``mapInPandas`` or a Series→Series ``pandas_udf``.
+
+The heavy nested-struct stages (``extract_spans_df``, ``parse_nodes_df``,
+``extract_metrics_df``) run RecordBatch-native (``mapInArrow``): the
+``array<struct>`` span/attr columns are read straight off the Arrow child
+buffers and rebuilt with ``ListArray.from_arrays`` — no pandas
+materialization of list-of-dict rows in either direction, which the round-4
+doc-scale measurement identified as the dominant proportional overhead
+(~20% of bytes-pumped cost at realistic doc sizes). The pandas workers are
+kept as the differential oracle (``tests/test_spark.py`` parity).
 
 Stages:
 
@@ -19,6 +28,8 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, IntegerType, StringType
 
@@ -28,6 +39,77 @@ from ..extract import doc_metrics, extract_main_text, extract_spans
 from ..selector import CompiledSelector
 from . import schemas
 from .partitioning import with_size_salt
+
+# Arrow field layouts for the hand-built output batches. Kept in lockstep
+# with schemas.py via to_arrow_schema (tests/test_spark.py asserts this).
+_SPAN_FIELDS = [
+    pa.field("kind", pa.string()),
+    pa.field("text", pa.string()),
+    pa.field("media_ref", pa.string()),
+    pa.field("offset", pa.int32()),
+]
+_SPANS_OUT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string(), nullable=False),
+        pa.field("spans", pa.list_(pa.struct(_SPAN_FIELDS))),
+    ]
+)
+_ATTR_FIELDS = [pa.field("name", pa.string()), pa.field("value", pa.string())]
+_NODES_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string(), nullable=False),
+        pa.field("node_id", pa.int32(), nullable=False),
+        pa.field("parent", pa.int32()),
+        pa.field("depth", pa.int32()),
+        pa.field("order", pa.int32()),
+        pa.field("kind", pa.int8()),
+        pa.field("tag", pa.string()),
+        pa.field("ns", pa.int8()),
+        pa.field("attrs", pa.list_(pa.struct(_ATTR_FIELDS))),
+        pa.field("text", pa.string()),
+        pa.field("subtree", pa.int32()),
+    ]
+)
+
+
+def _flat_spans(batch: pa.RecordBatch):
+    """Read an Arrow list<struct> spans column as flat python columns.
+
+    Returns (lengths, kinds, texts, media_refs, offsets) where ``lengths``
+    is per-row span counts (0 for null rows) and the rest are the
+    flattened child columns, slice-aware (``flatten()`` re-bases any
+    parent-array slice offset, unlike ``.values``).
+    """
+    spans = batch.column("spans")
+    lengths = [
+        (n if v else 0)
+        for n, v in zip(
+            pc.list_value_length(spans).fill_null(0).to_pylist(),
+            pc.is_valid(spans).to_pylist(),
+        )
+    ]
+    flat = spans.flatten()
+    return (
+        lengths,
+        flat.field("kind").to_pylist(),
+        flat.field("text").to_pylist(),
+        flat.field("media_ref").to_pylist(),
+        flat.field("offset").to_pylist(),
+    )
+
+
+def _span_list_array(out_kind, out_text, out_ref, out_off, list_offsets):
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(out_kind, pa.string()),
+            pa.array(out_text, pa.string()),
+            pa.array(out_ref, pa.string()),
+            pa.array(out_off, pa.int32()),
+        ],
+        fields=_SPAN_FIELDS,
+    )
+    return pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
+
 
 # ------------------------------------------------------------------ spans
 
@@ -40,12 +122,14 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out_spans = []
         for spans in pdf["spans"]:
+            if spans is None:
+                spans = []
             rows = [
                 {
                     "kind": s["kind"],
                     "text": s["text"],
                     "media_ref": s["media_ref"],
-                    "offset": int(s["offset"]) if s["offset"] is not None else 0,
+                    "offset": int(s["offset"]) if s["offset"] is not None else None,
                 }
                 for s in spans
             ]
@@ -53,16 +137,68 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "spans": out_spans})
 
 
-def extract_spans_df(documents: DataFrame) -> DataFrame:
+def _extract_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow worker: RecordBatch-native ``extract_spans``.
+
+    Same semantics as :func:`sparkhtml.extract.extract_spans` (the pure
+    oracle, parity-tested), but evaluated over the flattened Arrow child
+    columns — no list-of-dict rows are ever built, and the output
+    list<struct> is assembled directly from flat arrays.
+    """
+    for batch in batches:
+        lengths, kinds, texts, refs, offs = _flat_spans(batch)
+        out_kind: list = []
+        out_text: list = []
+        out_ref: list = []
+        out_off: list = []
+        list_offsets = [0]
+        lo = 0
+        for n in lengths:
+            hi = lo + n
+            order = sorted(
+                range(lo, hi),
+                key=lambda j: offs[j] if offs[j] is not None else 0,
+            )
+            for j in order:
+                k = kinds[j]
+                if k == "media":
+                    out_kind.append("media")
+                    out_text.append(None)
+                    out_ref.append(refs[j])
+                    out_off.append(offs[j])
+                elif k == "text":
+                    extracted = extract_main_text(texts[j] or "")
+                    if extracted:
+                        out_kind.append("text")
+                        out_text.append(extracted)
+                        out_ref.append(None)
+                        out_off.append(offs[j])
+            list_offsets.append(len(out_kind))
+            lo = hi
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                _span_list_array(out_kind, out_text, out_ref, out_off,
+                                 list_offsets),
+            ],
+            schema=_SPANS_OUT_SCHEMA,
+        )
+
+
+def extract_spans_df(documents: DataFrame, *, arrow: bool = True) -> DataFrame:
     """The north-rule pipeline: interleaved docs → main-content spans.
 
     Column pruning: only (doc_id, spans) enter the exchange; callers can
     carry extra columns by joining back on doc_id (cheaper than shipping
     them through Python).
+
+    ``arrow=True`` (default) runs the RecordBatch-native worker; the
+    pandas worker (``arrow=False``) is kept as the differential oracle.
     """
-    return documents.select("doc_id", "spans").mapInPandas(
-        _extract_batch, schema=schemas.SPANS_OUT
-    )
+    src = documents.select("doc_id", "spans")
+    if arrow:
+        return src.mapInArrow(_extract_arrow, schema=schemas.SPANS_OUT)
+    return src.mapInPandas(_extract_batch, schema=schemas.SPANS_OUT)
 
 
 def extract_spans_balanced(documents: DataFrame, partitions: int) -> DataFrame:
@@ -102,15 +238,86 @@ def _parse_nodes_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame(rows)
 
 
+def _parse_nodes_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow worker: html → flattened nodes, RecordBatch-native.
+
+    ``FlatDOM`` is already columnar (parallel python lists), so the Arrow
+    batch is a straight concat of those lists; the ``attrs``
+    list<struct<name,value>> is built from flat name/value columns +
+    offsets instead of per-node dict lists (the pandas-path cost).
+    """
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        c_doc: list = []
+        c_nid: list = []
+        c_parent: list = []
+        c_depth: list = []
+        c_order: list = []
+        c_kind: list = []
+        c_tag: list = []
+        c_ns: list = []
+        c_text: list = []
+        c_subtree: list = []
+        attr_names: list = []
+        attr_values: list = []
+        attr_offsets = [0]
+        for doc_id, html in zip(doc_ids, htmls):
+            dom = FlatDOM.from_html(html or "")
+            n = len(dom)
+            c_doc.extend([doc_id] * n)
+            c_nid.extend(range(n))
+            c_parent.extend(dom.parent)
+            c_depth.extend(dom.depth)
+            c_order.extend(dom.order)
+            c_kind.extend(dom.kind)
+            c_tag.extend(dom.tag)
+            c_ns.extend(dom.ns)
+            c_text.extend(dom.text)
+            c_subtree.extend(dom.subtree)
+            for a in dom.attrs:
+                for k, v in a:
+                    attr_names.append(k)
+                    attr_values.append(v)
+                attr_offsets.append(len(attr_names))
+        attrs = pa.ListArray.from_arrays(
+            pa.array(attr_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(attr_names, pa.string()),
+                 pa.array(attr_values, pa.string())],
+                fields=_ATTR_FIELDS,
+            ),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(c_doc, pa.string()),
+                pa.array(c_nid, pa.int32()),
+                pa.array(c_parent, pa.int32()),
+                pa.array(c_depth, pa.int32()),
+                pa.array(c_order, pa.int32()),
+                pa.array(c_kind, pa.int8()),
+                pa.array(c_tag, pa.string()),
+                pa.array(c_ns, pa.int8()),
+                attrs,
+                pa.array(c_text, pa.string()),
+                pa.array(c_subtree, pa.int32()),
+            ],
+            schema=_NODES_SCHEMA,
+        )
+
+
 def parse_nodes_df(df: DataFrame, html_col: str = "html",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id", *, arrow: bool = True) -> DataFrame:
     """html string column → exploded ``nodes`` table (one row per DOM node).
 
     This is the flattened-DOM table of SURVEY.md §1.1; selector plans from
     :mod:`sparkhtml.spark.queries` run over it with joins/windows.
+    ``arrow=False`` selects the pandas differential-oracle worker.
     """
     src = df.select(F.col(id_col).cast("string").alias("doc_id"),
                     F.col(html_col).alias("html"))
+    if arrow:
+        return src.mapInArrow(_parse_nodes_arrow, schema=schemas.NODES)
     return src.mapInPandas(_parse_nodes_batch, schema=schemas.NODES)
 
 
@@ -218,6 +425,8 @@ def _metrics_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k.name: [] for k in schemas.EXTRACT_METRICS.fields}
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            if spans is None:
+                spans = []
             n_media = sum(1 for s in spans if s["kind"] == "media")
             n_nodes = n_kept = n_words = n_err = depth = 0
             n_out = n_media
@@ -245,8 +454,58 @@ def _metrics_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def extract_metrics_df(documents: DataFrame) -> DataFrame:
+_METRICS_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.string(), nullable=False)]
+    + [pa.field(f.name, pa.int32())
+       for f in schemas.EXTRACT_METRICS.fields[1:]]
+)
+
+
+def _metrics_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow worker for the metrics table — reads the nested spans
+    column off the flattened Arrow children (same shape as
+    :func:`_extract_arrow`); output is flat ints."""
+    for batch in batches:
+        lengths, kinds, texts, _refs, _offs = _flat_spans(batch)
+        cols = {f.name: [] for f in _METRICS_SCHEMA}
+        lo = 0
+        for n in lengths:
+            hi = lo + n
+            n_media = sum(1 for j in range(lo, hi) if kinds[j] == "media")
+            n_nodes = n_kept = n_words = n_err = depth = 0
+            n_out = n_media
+            for j in range(lo, hi):
+                if kinds[j] != "text":
+                    continue
+                dom = FlatDOM.from_html(texts[j] or "", collect_errors=True)
+                m = doc_metrics(dom)
+                n_nodes += m["n_nodes"]
+                n_kept += m["n_kept_words"]
+                n_words += m["n_words"]
+                n_err += m["n_errors"]
+                depth = max(depth, max(dom.depth) if len(dom) else 0)
+                if m["n_kept_words"]:
+                    n_out += 1
+            cols["n_spans_in"].append(n)
+            cols["n_spans_out"].append(n_out)
+            cols["n_media"].append(n_media)
+            cols["n_nodes"].append(n_nodes)
+            cols["n_kept_words"].append(n_kept)
+            cols["n_words"].append(n_words)
+            cols["n_errors"].append(n_err)
+            cols["max_depth"].append(depth)
+            lo = hi
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id")]
+            + [pa.array(cols[f.name], pa.int32())
+               for f in _METRICS_SCHEMA if f.name != "doc_id"],
+            schema=_METRICS_SCHEMA,
+        )
+
+
+def extract_metrics_df(documents: DataFrame, *, arrow: bool = True) -> DataFrame:
     """Per-document metrics table (lineage layer, SURVEY.md §4.3)."""
-    return documents.select("doc_id", "spans").mapInPandas(
-        _metrics_batch, schema=schemas.EXTRACT_METRICS
-    )
+    src = documents.select("doc_id", "spans")
+    if arrow:
+        return src.mapInArrow(_metrics_arrow, schema=schemas.EXTRACT_METRICS)
+    return src.mapInPandas(_metrics_batch, schema=schemas.EXTRACT_METRICS)

@@ -385,12 +385,14 @@ def css_select_df(
 
 def _is_expensive_scan(nodes: DataFrame) -> bool:
     """True when re-executing the input plan repeats Python-side work
-    (MapInPandas / ArrowEvalPython), as a live parse_nodes_df does."""
+    (MapInArrow / MapInPandas / ArrowEvalPython), as a live
+    parse_nodes_df does."""
     try:
         plan = nodes._jdf.queryExecution().analyzed().toString()
     except Exception:  # pragma: no cover — be conservative off-JVM
         return True
-    return "MapInPandas" in plan or "ArrowEvalPython" in plan or "PythonUDF" in plan
+    return ("MapInArrow" in plan or "MapInPandas" in plan
+            or "ArrowEvalPython" in plan or "PythonUDF" in plan)
 
 
 def _filter_mask(nodes: DataFrame, col: Column) -> DataFrame:
@@ -400,47 +402,55 @@ def _filter_mask(nodes: DataFrame, col: Column) -> DataFrame:
 
 
 def _complex_df(nodes: DataFrame, cx: Complex) -> DataFrame:
-    """Right-to-left: start from rightmost matches, constrain leftward."""
-    cur = _compound_df(nodes, cx.compounds[-1])
-    for k in range(len(cx.combinators) - 1, -1, -1):
-        comb = cx.combinators[k]
-        left = _compound_df(nodes, cx.compounds[k]).select(
+    """Left-to-right accumulation, mirroring ``selector._match_complex``:
+    after step k, ``cur`` holds the nodes matching compound k whose chain
+    through compounds 0..k-1 is fully connected *in order*. (Round-5 fix:
+    the old right-to-left loop joined every leftward constraint against
+    the same rightmost match set, so ≥2-combinator chains like
+    ``form>div>div`` required the FINAL nodes — not the intermediate
+    links — to satisfy each step, and descendant chains never enforced
+    ancestor ordering. The in-UDF matcher had the identical defect, which
+    is why parity tests held; truth fixtures now pin both.)"""
+    cur = _compound_df(nodes, cx.compounds[0])
+    for k, comb in enumerate(cx.combinators):
+        right = _compound_df(nodes, cx.compounds[k + 1])
+        left = cur.select(
             F.col("doc_id").alias("a_doc"),
             F.col("node_id").alias("a_id"),
-            F.col("parent").alias("a_parent"),
             F.col("subtree").alias("a_subtree"),
         )
         if comb == ">":
-            cur = (
-                cur.join(
-                    left,
-                    (cur["doc_id"] == left["a_doc"])
-                    & (cur["parent"] == left["a_id"]),
-                    "leftsemi",
-                )
+            cur = right.join(
+                left,
+                (right["doc_id"] == left["a_doc"])
+                & (right["parent"] == left["a_id"]),
+                "leftsemi",
             )
         elif comb == " ":
-            cur = cur.join(
+            # pre-order range join: descendant ⟺ ancestor_id < id < subtree
+            cur = right.join(
                 left,
-                (cur["doc_id"] == left["a_doc"])
-                & (cur["node_id"] > left["a_id"])
-                & (cur["node_id"] < left["a_subtree"]),
+                (right["doc_id"] == left["a_doc"])
+                & (right["node_id"] > left["a_id"])
+                & (right["node_id"] < left["a_subtree"]),
                 "leftsemi",
             )
         elif comb in ("+", "~"):
-            # sibling logic needs the full sibling set: recompute as a
-            # window over all nodes, flagging left-matches
+            # sibling logic needs the full sibling set: flag membership in
+            # the accumulated left set over all nodes, then window
             w = Window.partitionBy("doc_id", "parent").orderBy("node_id")
             is_el = F.col("kind") == ELEMENT
-            if all(_simple_is_columnar(s) for s in cx.compounds[k].simples):
-                lcol = _compound_col(cx.compounds[k], nodes)
+            if k == 0 and all(
+                _simple_is_columnar(s) for s in cx.compounds[0].simples
+            ):
+                # first step: the left set IS compound 0 — columnar flag
+                lcol = _compound_col(cx.compounds[0], nodes)
                 flagged = nodes.withColumn("_lm", F.when(lcol, 1).otherwise(0))
             else:
-                # post-op left compound (:empty / :enabled / …): flag
-                # membership via a join against its match set instead
-                lm = _compound_df(nodes, cx.compounds[k]).select(
-                    F.col("doc_id").alias("m_doc"),
-                    F.col("node_id").alias("m_id"),
+                # accumulated / post-op left set: flag via a join
+                lm = left.select(
+                    F.col("a_doc").alias("m_doc"),
+                    F.col("a_id").alias("m_id"),
                     F.lit(1).alias("_lm"),
                 )
                 flagged = nodes.join(
@@ -463,11 +473,12 @@ def _complex_df(nodes: DataFrame, cx: Complex) -> DataFrame:
                 )
                 flagged = flagged.withColumn("_ok", any_prev == 1)
             ok = flagged.filter(F.col("_ok")).select(
-                F.col("doc_id").alias("a_doc"), F.col("node_id").alias("a_id")
+                F.col("doc_id").alias("s_doc"), F.col("node_id").alias("s_id")
             )
-            cur = cur.join(
+            cur = right.join(
                 ok,
-                (cur["doc_id"] == ok["a_doc"]) & (cur["node_id"] == ok["a_id"]),
+                (right["doc_id"] == ok["s_doc"])
+                & (right["node_id"] == ok["s_id"]),
                 "leftsemi",
             )
         else:  # pragma: no cover

@@ -39,7 +39,9 @@ def test_extract_pipeline_prunes_columns(spark):
 
     docs = entry._interleaved(spark, SF)
     p = plan(extract_spans_df(docs))
-    assert "MapInPandas" in p or "mapInPandas" in p.lower()
+    # RecordBatch-native crossing (round-5: no pandas materialization of
+    # the nested spans struct in either direction)
+    assert "MapInArrow" in p
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
 
@@ -108,7 +110,7 @@ def test_exact_dedup_single_shuffle(spark):
 def test_css_select_parses_corpus_once(spark):
     """A multi-compound selector over a LIVE parse must not re-parse the
     corpus once per compound: css_select_df auto-persists the nodes input,
-    so the physical plan shows ONE MapInPandas (inside the InMemoryRelation)
+    so the physical plan shows ONE MapInArrow (inside the InMemoryRelation)
     and the join sides read the cache (regression: two parses per join)."""
     from sparkhtml.spark.pipeline import parse_nodes_df
     from sparkhtml.spark.queries import css_select_df
@@ -120,11 +122,12 @@ def test_css_select_parses_corpus_once(spark):
     nodes = parse_nodes_df(df)
     out = css_select_df(nodes, "div > p")
     p = plan(out)
-    # every MapInPandas in the printed plan must sit under a cached
-    # InMemoryRelation (the cache manager dedupes them to ONE execution);
-    # a bare MapInPandas on a join side means a second live parse
+    # every parse crossing (MapInArrow since round 5) in the printed plan
+    # must sit under a cached InMemoryRelation (the cache manager dedupes
+    # them to ONE execution); a bare crossing on a join side means a
+    # second live parse
     assert "InMemoryTableScan" in p
-    assert p.count("MapInPandas") == p.count("InMemoryRelation"), p
+    assert p.count("MapInArrow") == p.count("InMemoryRelation"), p
     assert out.count() == 4
     # default ordering is partition-local: no global Sort exchange on top
     assert "rangepartitioning" not in p.lower().replace(" ", "")
@@ -160,7 +163,7 @@ def test_textstats_single_tokenization(spark):
 
 def test_extraction_pipeline_has_no_shuffle(spark):
     """The north-rule pipeline is embarrassingly parallel: scan → project →
-    one MapInPandas, ZERO exchanges — the property that makes it scan-local
+    one MapInArrow, ZERO exchanges — the property that makes it scan-local
     at 1000 executors."""
     import __spark_entry__ as entry
     from sparkhtml.spark.pipeline import extract_spans_df
@@ -271,3 +274,106 @@ def test_knn_join_ivf_is_equi_join(spark):
     # nullable join key makes Catalyst generate an isnotnull pre-filter
     # with its own ArrowEvalPython, doubling the Python crossing
     assert p.count("ArrowEvalPython [_assign") == 1, p
+
+
+# --------------------------------------------------- selector plan coverage
+
+_WEBKIT_PLIST = "/root/reference/Utilities/Fixtures/query-selector.plist"
+_WEBKIT_HTML = "/root/reference/Utilities/Fixtures/query-selector.html"
+
+# one probe per matcher feature class (Q1-Q20) — the compile-coverage
+# contract: EVERYTHING the in-UDF matcher supports must also compile to a
+# DataFrame plan (zero UnsupportedSelector fallbacks; COVERAGE.md §2.4)
+_FEATURE_PROBES = [
+    "*", "div", "#i", ".c", "[a]", "[a=b]", "[a~=b]", "[a^=b]", "[a$=b]",
+    "[a*=b]", "[a|=b]", "div p", "div > p", "div + p", "div ~ p",
+    "p:first-child", "p:last-child", "p:only-child", "p:first-of-type",
+    "p:last-of-type", "p:only-of-type", "p:nth-child(2n+1)",
+    "p:nth-last-child(2)", "p:nth-of-type(odd)", "p:nth-last-of-type(even)",
+    "p:empty", ":root", "a:link", "input:enabled", "input:disabled",
+    "input:checked", "a:visited", "a:active", "a:hover", "a:focus",
+    "p:not(.c)", "p:not(#i):not(.c)", "p:not(div p)", "p:not(div > p)",
+    "div p:empty", "div > p:enabled", "a, p", "div p + a ~ b",
+    "p:not(*)", "p:not([a=b])", ":not(p)",
+]
+
+
+def _webkit_selectors():
+    import plistlib
+
+    with open(_WEBKIT_PLIST, "rb") as f:
+        suites = plistlib.load(f)
+    return [s for su in suites for s in su["selectors"]]
+
+
+def test_selector_plan_compiles_entire_feature_space(spark):
+    """Every selector the in-UDF matcher supports — all 53 WebKit-suite
+    selectors plus one probe per feature class — compiles to a DataFrame
+    plan; the UDF fallback path is never required (HTMLSelector.m:806-852
+    compiles everything; so do we)."""
+    import os
+
+    from sparkhtml.spark.pipeline import parse_nodes_df
+    from sparkhtml.spark.queries import css_select_df
+
+    df = spark.createDataFrame([("d", "<div><p>a</p></div>")],
+                               ["doc_id", "html"])
+    nodes = parse_nodes_df(df)
+    sels = list(_FEATURE_PROBES)
+    if os.path.exists(_WEBKIT_PLIST):
+        sels += _webkit_selectors()
+    for s in sels:
+        css_select_df(nodes, s, sort="none")  # raises UnsupportedSelector
+
+
+def test_selector_plan_parity_webkit_subset(spark):
+    """Execution parity plan-vs-matcher on the real WebKit fixture doc for
+    a subset covering each structural class (the full 53 ran green as a
+    one-off — 0 mismatches; this pins a fast representative sample)."""
+    import os
+
+    if not os.path.exists(_WEBKIT_HTML):
+        pytest.skip("reference WebKit fixture not present")
+    from sparkhtml.dom import FlatDOM
+    from sparkhtml.selector import CompiledSelector
+    from sparkhtml.spark.pipeline import parse_nodes_df
+    from sparkhtml.spark.queries import css_select_df
+
+    html = open(_WEBKIT_HTML, encoding="utf-8", errors="replace").read()
+    dom = FlatDOM.from_html(html)
+    df = spark.createDataFrame([("d0", html)], ["doc_id", "html"])
+    nodes = parse_nodes_df(df).cache()
+    nodes.count()
+    # (selector, truth match count on the fixture) — the WebKit suite is
+    # built so each complex chain hits exactly its one marked element;
+    # these counts pin TRUTH, not just plan-vs-matcher agreement (which
+    # held even under the shared pre-round-5 chain bug)
+    subset = [
+        ("html body div>#complex-multi-rules1 .some-class "
+         "li[data-bar].some-class", 1),
+        ("#complex-multi-rules4 #complex-multi-rules4-sub1 "
+         "#complex-multi-rules4-sub2 #complex-multi-rules4-sub3", 1),
+        ("div#complex-multi-rules5>div div#complex-multi-rules5-left ul "
+         ".other-class p img#complex-multi-rules5-image", 1),
+        ("form[name='complex-multi-rules6-form']>div>div>"
+         "input[name='complex-multi-rules6-file-input']", 1),
+        ("div div.some-class a.other-class div.another-class div "
+         "p.result-class", 1),
+        ("[title='WebKit Template Framework']", 1),
+        ("[data-foo=bar]", 1),
+        ("#duplicate-id", 3),
+        (".result-class", 1),
+        ("summary", 1),
+    ]
+    try:
+        for s, want in subset:
+            plan_ids = sorted(
+                r["node_id"]
+                for r in css_select_df(nodes, s, sort="none")
+                .select("node_id").collect()
+            )
+            udf_ids = sorted(CompiledSelector(s).match_ids(dom))
+            assert plan_ids == udf_ids, s
+            assert len(udf_ids) == want, (s, len(udf_ids), want)
+    finally:
+        nodes.unpersist()

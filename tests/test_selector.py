@@ -76,6 +76,19 @@ CASES = [
     (":visited", []),
     ("p, span", ["p1", "p2", "s1", "p3"]),  # tree order
     ("#d1 > :nth-child(2)", ["p2"]),
+    # ≥2-combinator chains (round-5 fix: the old right-to-left loop kept
+    # the mask anchored at the rightmost compound, so intermediate links
+    # never had to connect and ancestor order was ignored)
+    ("body>div>p", ["p1", "p2", "p3"]),
+    ("html>body>div>p", ["p1", "p2", "p3"]),
+    ("body>p>div", []),             # wrong order must not match
+    ("div body p", []),             # unordered ancestors must not match
+    ("html body div p", ["p1", "p2", "p3"]),
+    ("body > div > input", ["i1", "i2"]),
+    ("#root #body #d1 #p2", ["p2"]),
+    ("div > p + p ~ p", ["p3"]),    # chain through both sibling kinds
+    ("body > div p + span", ["s1"]),
+    ("head body div", []),          # head is not an ancestor of div
 ]
 
 

@@ -51,6 +51,62 @@ def test_extract_metrics(spark, docs_df):
     assert row[0] > 0 and 0 < row[1] <= row[0] and row[2] >= 0
 
 
+def test_arrow_and_pandas_workers_agree(spark, docs_df):
+    """Round-5 mapInArrow port: the RecordBatch-native workers must be
+    row-for-row identical to the retained pandas differential oracles, and
+    the hand-built Arrow schemas must stay in lockstep with schemas.py."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from sparkhtml.spark import pipeline as P
+
+    assert P._SPANS_OUT_SCHEMA == pa.schema(
+        [f.remove_metadata() for f in to_arrow_schema(schemas.SPANS_OUT)]
+    )
+    assert P._NODES_SCHEMA == pa.schema(
+        [f.remove_metadata() for f in to_arrow_schema(schemas.NODES)]
+    )
+
+    a = extract_spans_df(docs_df, arrow=True).sort("doc_id").collect()
+    b = extract_spans_df(docs_df, arrow=False).sort("doc_id").collect()
+    assert a == b and len(a) == 60
+
+    ma = extract_metrics_df(docs_df, arrow=True).sort("doc_id").collect()
+    mb = extract_metrics_df(docs_df, arrow=False).sort("doc_id").collect()
+    assert ma == mb
+
+    edge = spark.createDataFrame(
+        [("d0", "<div class='x' id=a><p>hi <b>w</b></p><!--c--></div>"),
+         ("d1", None), ("d2", ""), ("d3", "<table><tr><td>a<td>b</table>"),
+         ("d4", "<svg><foreignObject><p>f</p></foreignObject></svg>")],
+        ["doc_id", "html"],
+    )
+    na = parse_nodes_df(edge, arrow=True).sort("doc_id", "node_id").collect()
+    nb = parse_nodes_df(edge, arrow=False).sort("doc_id", "node_id").collect()
+    assert na == nb and len(na) > 0
+
+
+def test_arrow_extract_null_and_empty_span_rows(spark):
+    """Null spans arrays and rows with no surviving spans must flatten and
+    rebuild correctly (ListArray offsets bookkeeping)."""
+    df = spark.createDataFrame(
+        [("d0", None),
+         ("d1", []),
+         ("d2", [{"kind": "text", "text": "<p></p>", "media_ref": None,
+                  "offset": 0}]),
+         ("d3", [{"kind": "media", "text": None, "media_ref": "m-1",
+                  "offset": None},
+                 {"kind": "other", "text": "x", "media_ref": None,
+                  "offset": 1}])],
+        schema=schemas.DOCUMENTS_INTERLEAVED,
+    )
+    a = extract_spans_df(df, arrow=True).sort("doc_id").collect()
+    b = extract_spans_df(df, arrow=False).sort("doc_id").collect()
+    assert [r["doc_id"] for r in a] == ["d0", "d1", "d2", "d3"]
+    assert [len(r["spans"]) for r in a] == [0, 0, 0, 1]
+    assert a == b
+
+
 def test_nodes_table_and_selector_plan_parity(spark):
     html = (
         "<div id=a class='x y'><p>one</p><p class=x>two</p>"
