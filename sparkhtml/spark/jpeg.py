@@ -1,16 +1,25 @@
-"""Baseline-sequential JPEG codec in pure numpy (no dependencies).
+"""Baseline + progressive JPEG codec in pure numpy (no dependencies).
 
 Decoder scope (the overwhelming majority of web JPEGs): baseline DCT
-(SOF0), 8-bit, grayscale or YCbCr with sampling factors 1 or 2 per axis
-(4:4:4, 4:2:2, 4:2:0), restart markers, multiple DQT/DHT segments.
-Progressive (SOF2), arithmetic coding and 12-bit are rejected with a
-ValueError (the per-row error channel in multimodal.py surfaces them).
+(SOF0/1) and **progressive DCT (SOF2, round 5)** — spectral selection,
+successive approximation (DC and AC refinement scans, EOB runs),
+interleaved and single-component scans — 8-bit, grayscale or YCbCr with
+sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:2:0), restart
+markers, multiple DQT/DHT segments. Arithmetic coding, hierarchical and
+12-bit remain rejected with a ValueError (the per-row error channel in
+multimodal.py surfaces them).
 
-The encoder exists for testing: it emits 4:4:4 / grayscale baseline
-JPEGs with the Annex-K standard tables, so decode∘encode round-trips
-bound the reconstruction error by the quantization step — and a
-hand-constructed single-block stream pins the decoder against numbers
-worked out by hand, independent of the encoder.
+The encoders exist for testing: the baseline one emits 4:4:4 /
+grayscale JPEGs with the Annex-K standard tables, so decode∘encode
+round-trips bound the reconstruction error by the quantization step —
+and a hand-constructed single-block stream pins the decoder against
+numbers worked out by hand, independent of the encoder. The progressive
+encoder re-encodes the SAME quantized coefficients across a
+libjpeg-style multi-scan script (DC first + refine, AC bands at
+successive Al, AC refinement with buffered correction bits), so
+``decode(encode_progressive(x)) == decode(encode_baseline(x))``
+EXACTLY — pixel-identical across two entirely different scan
+structures.
 """
 
 from __future__ import annotations
@@ -190,7 +199,7 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, 3) uint8 RGB."""
+    """Baseline or progressive JPEG → (H, W, 3) uint8 RGB."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
     pos = 2
@@ -200,6 +209,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    prog: dict | None = None  # progressive coefficient store
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -235,7 +245,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tab = _build_huff_decode(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tab
                 i += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = body[0], struct.unpack_from(">H", body, 1)[0], \
                 struct.unpack_from(">H", body, 3)[0], body[5]
             if prec != 8:
@@ -244,10 +254,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                prog = _init_progressive(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG mode (progressive/arith)")
+            raise ValueError("unsupported JPEG mode (lossless/arith/hier)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -257,15 +270,257 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next(
+                    i for i, x in enumerate(frame["comps"]) if x["id"] == cs
+                )
                 scan.append((comp, tt >> 4, tt & 0xF))
+            base = 1 + 2 * ns
+            band = (body[base], body[base + 1],
+                    body[base + 2] >> 4, body[base + 2] & 0xF)
             data_pos = pos + 2 + seglen
-            return _decode_scan(
-                payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload, data_pos, frame,
+                    [(frame["comps"][ci], td, ta) for ci, td, ta in scan],
+                    qt, huff_dc, huff_ac, restart_interval,
+                )
+            pos = _decode_progressive_scan(
+                payload, data_pos, frame, scan, band, huff_dc, huff_ac,
+                restart_interval, prog,
             )
+            continue
         pos += 2 + seglen
+    if prog is not None:
+        return _finish_progressive(frame, prog, qt)
     raise ValueError("JPEG missing SOS")
+
+
+# ------------------------------------------------------- progressive decode
+
+
+def _init_progressive(frame) -> dict:
+    """Per-component coefficient store on the padded MCU block grid
+    (covers both interleaved-DC and single-component scan traversals)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    coeffs = []
+    nonil = []  # non-interleaved (true) block dims per component
+    for c in frame["comps"]:
+        bw_pad, bh_pad = mcus_x * c["h"], mcus_y * c["v"]
+        coeffs.append(np.zeros((bh_pad, bw_pad, 64), dtype=np.int32))
+        cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+        ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+        nonil.append(((cw + 7) // 8, (ch + 7) // 8))
+    return {"coeffs": coeffs, "nonil": nonil,
+            "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y}
+
+
+def _next_marker_pos(payload: bytes, pos: int) -> int:
+    """First real marker (not stuffed 00, not RSTn) at/after ``pos``."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00 \
+                and not (0xD0 <= payload[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(payload, data_pos, frame, scan, band,
+                             huff_dc, huff_ac, restart_interval, prog) -> int:
+    """Decode one progressive scan into the coefficient store; returns the
+    stream position of the next marker. T.81 §G.2 semantics: DC scans may
+    be interleaved (MCU order); AC scans are single-component in the
+    component's own block-raster order; Ah=0 is a first pass at point
+    transform Al, Ah>0 a 1-bit refinement from Ah to Al."""
+    ss, se, ah, al = band
+    reader = _BitReader(payload, data_pos)
+    coeffs = prog["coeffs"]
+
+    def maybe_restart(count, preds, eobrun):
+        if restart_interval and count and count % restart_interval == 0:
+            reader.align_restart()
+            return [0] * len(preds), 0
+        return preds, eobrun
+
+    if ss == 0:  # ------------------------------------------------ DC scan
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC")
+        preds = [0] * len(scan)
+        if len(scan) > 1:  # interleaved: MCU order, h×v blocks per comp
+            count = 0
+            for my in range(prog["mcus_y"]):
+                for mx in range(prog["mcus_x"]):
+                    preds, _ = maybe_restart(count, preds, 0)
+                    for si, (ci, td, _ta) in enumerate(scan):
+                        c = frame["comps"][ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = coeffs[ci][my * c["v"] + by,
+                                                 mx * c["h"] + bx]
+                                if ah == 0:
+                                    t = _huff_decode(reader, huff_dc[td])
+                                    diff = _extend(reader.read_bits(t), t)
+                                    preds[si] += diff
+                                    blk[0] = preds[si] << al
+                                else:
+                                    blk[0] |= reader.read_bit() << al
+                    count += 1
+        else:  # single component: its own block raster
+            ci, td, _ta = scan[0]
+            nbw, nbh = prog["nonil"][ci]
+            pred = 0
+            count = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    p, _ = maybe_restart(count, [pred], 0)
+                    pred = p[0]
+                    blk = coeffs[ci][by, bx]
+                    if ah == 0:
+                        t = _huff_decode(reader, huff_dc[td])
+                        pred += _extend(reader.read_bits(t), t)
+                        blk[0] = pred << al
+                    else:
+                        blk[0] |= reader.read_bit() << al
+                    count += 1
+    else:  # ------------------------------------------------------ AC scan
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci, _td, ta = scan[0]
+        table = huff_ac[ta]
+        nbw, nbh = prog["nonil"][ci]
+        eobrun = 0
+        count = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                _, eobrun = maybe_restart(count, [], eobrun)
+                blk = coeffs[ci][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(blk, reader, ss, se, al,
+                                             table, eobrun)
+                else:
+                    eobrun = _ac_refine_block(blk, reader, ss, se, al,
+                                              table, eobrun)
+                count += 1
+    return _next_marker_pos(payload, reader.pos)
+
+
+def _ac_first_block(blk, reader, ss, se, al, table, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits end-of-band blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC overflow")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(blk, reader, ss, se, al, table, eobrun) -> int:
+    """T.81 G.2 / libjpeg decode_mcu_AC_refine: 1-bit corrections for
+    already-nonzero coefficients, newly-significant ±1<<al insertions,
+    correction bits continuing through EOB runs."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k):
+        if reader.read_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # rest of block handled as in-EOB corrections
+                val = 0  # ZRL: skip 16 zero-history coeffs
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+        else:
+            return 0
+    else:
+        eobrun -= 1
+    # in (or entering) an EOB run: remaining band gets corrections only
+    while k <= se:
+        if blk[k] != 0:
+            correct(k)
+        k += 1
+    return eobrun
+
+
+def _assemble(frame, planes) -> np.ndarray:
+    """Padded per-component pixel planes → upsample, crop, color-convert."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for c, plane in zip(comps, planes):
+        if c["h"] != hmax:
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        if c["v"] != vmax:
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _finish_progressive(frame, prog, qt) -> np.ndarray:
+    planes = []
+    for c, coef in zip(frame["comps"], prog["coeffs"]):
+        bh, bw = coef.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        q = qt[c["tq"]]
+        for by in range(bh):
+            for bx in range(bw):
+                nat = np.zeros(64, dtype=np.float64)
+                nat[ZIGZAG] = coef[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(nat.reshape(8, 8) * q) + 128.0
+                )
+        planes.append(plane)
+    return _assemble(frame, planes)
 
 
 def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
@@ -615,5 +870,295 @@ def _encode_420(arr: np.ndarray, quality_scale: int) -> bytes:
             emit_block(crd, my * 8, mx * 8, cq, 1, 2)
     writer.flush()
     out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ------------------------------------------------------ progressive encoder
+
+# "Flat" canonical Huffman tables sized to contain EVERY symbol the
+# progressive scans can emit (incl. the EOBn codes 0x10..0xE0 the Annex-K
+# tables lack): all 16 DC categories at length 5 (Kraft 16/32), all 256
+# AC run/size bytes at lengths 9/10 (255/512 + 2/1024). Deliberately
+# suboptimal — correctness-exercising, not size-optimal.
+_FLAT_DC = (
+    [0, 0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+_FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def _forward_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Level-shifted plane → (bh, bw, 64) quantized zig-zag coefficients
+    (edge-replicate padded), identical math to the baseline encoder."""
+    h, w = plane.shape
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int32)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = np.zeros((8, 8), dtype=np.float64)
+            src = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            blk[: src.shape[0], : src.shape[1]] = src
+            if src.shape[0] < 8:
+                blk[src.shape[0] :, : src.shape[1]] = src[-1:, :]
+            if src.shape[1] < 8:
+                blk[:, src.shape[1] :] = blk[:, src.shape[1] - 1 : src.shape[1]]
+            coeffs = np.round(_fdct2(blk) / q).astype(np.int32)
+            out[by, bx] = coeffs.reshape(-1)[ZIGZAG]
+    return out
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter + huffman emit + the buffered-correction-bit protocol of
+    refinement scans (libjpeg's BE buffer)."""
+
+    def __init__(self, enc_dc, enc_ac):
+        super().__init__()
+        self.enc_dc = enc_dc
+        self.enc_ac = enc_ac
+        self.pending: list[int] = []
+
+    def sym_dc(self, s: int) -> None:
+        code, ln = self.enc_dc[s]
+        self.write(code, ln)
+
+    def sym_ac(self, s: int) -> None:
+        code, ln = self.enc_ac[s]
+        self.write(code, ln)
+
+    def flush_pending(self) -> None:
+        for b in self.pending:
+            self.write(b, 1)
+        self.pending = []
+
+
+def _emit_eobrun(w: _ProgWriter, eobrun: int) -> int:
+    """Flush an accumulated end-of-band run (EOBn symbols + extension
+    bits + the correction bits buffered across the run's blocks)."""
+    while eobrun > 0:
+        r = min(14, eobrun.bit_length() - 1)
+        take = min(eobrun, (1 << (r + 1)) - 1)
+        r = take.bit_length() - 1
+        w.sym_ac(r << 4)
+        if r:
+            w.write(take - (1 << r), r)
+        w.flush_pending()
+        eobrun -= take
+    return 0
+
+
+def _enc_dc_scan(w, comp_coeffs, al, first: bool) -> None:
+    """Interleaved (4:4:4 → one block per comp per MCU) DC scan."""
+    ncomp = len(comp_coeffs)
+    bh, bw = comp_coeffs[0].shape[:2]
+    preds = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                v = int(comp_coeffs[ci][by, bx, 0])
+                if first:
+                    sv = v >> al  # DC point transform: arithmetic shift
+                    diff = sv - preds[ci]
+                    preds[ci] = sv
+                    t, bits_v = _mag(diff)
+                    w.sym_dc(t)
+                    if t:
+                        w.write(bits_v, t)
+                else:
+                    w.write((v >> al) & 1, 1)
+
+
+def _enc_ac_first(w, coeffs, ss, se, al) -> None:
+    bh, bw = coeffs.shape[:2]
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = coeffs[by, bx]
+            band = [int(zz[k]) for k in range(ss, se + 1)]
+            vals = [(1 if v > 0 else -1) * (abs(v) >> al) for v in band]
+            last_nz = -1
+            for i, v in enumerate(vals):
+                if v:
+                    last_nz = i
+            if last_nz < 0:
+                eobrun += 1
+                continue
+            eobrun = _emit_eobrun(w, eobrun)
+            run = 0
+            for i in range(last_nz + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.sym_ac(0xF0)
+                    run -= 16
+                t, bits_v = _mag(v)
+                w.sym_ac((run << 4) | t)
+                w.write(bits_v, t)
+                run = 0
+            if last_nz < se - ss:
+                eobrun += 1
+    _emit_eobrun(w, eobrun)
+
+
+def _enc_ac_refine(w, coeffs, ss, se, al) -> None:
+    """T.81 G.1.2.3 successive-approximation refinement (libjpeg
+    encode_mcu_AC_refine structure): newly-significant ±1 insertions with
+    runs counted over still-zero positions only; 1-bit corrections for
+    already-significant positions buffered in TWO tiers — block-level
+    bits flush after the next in-block symbol (ZRL or (r,1)), and bits
+    belonging to completed end-of-band blocks flush with the EOBn symbol
+    (libjpeg's BR vs BE buffers). ZRL is emitted the moment any nonzero
+    is reached with run > 15, and only while k ≤ the last
+    newly-significant position — everything after joins the EOB run."""
+    bh, bw = coeffs.shape[:2]
+    eobrun = 0
+    run_bits: list[int] = []   # corrections of completed EOB-run blocks
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            w.sym_ac(r << 4)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            for b in run_bits:
+                w.write(b, 1)
+            run_bits.clear()
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = coeffs[by, bx]
+            tvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            last_new = -1  # band index of last newly-significant coeff
+            for i, t in enumerate(tvals):
+                if t == 1:
+                    last_new = i
+            run = 0
+            blk_bits: list[int] = []  # corrections since last symbol
+            for i, t in enumerate(tvals):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= last_new:
+                    emit_eobrun()
+                    w.sym_ac(0xF0)
+                    run -= 16
+                    for b in blk_bits:
+                        w.write(b, 1)
+                    blk_bits = []
+                if t > 1:  # already significant: buffer a correction bit
+                    blk_bits.append(t & 1)
+                    continue
+                # newly significant (t == 1)
+                emit_eobrun()
+                w.sym_ac((run << 4) | 1)
+                w.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+                for b in blk_bits:
+                    w.write(b, 1)
+                blk_bits = []
+                run = 0
+            if run > 0 or blk_bits:
+                # block tail joins the EOB run; its corrections move to
+                # the run buffer (flushed with the eventual EOBn)
+                run_bits.extend(blk_bits)
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+    emit_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality_scale: int = 1) -> bytes:
+    """Progressive (SOF2) writer over the SAME quantized coefficients as
+    :func:`encode_jpeg`: grayscale or RGB→YCbCr 4:4:4, a libjpeg-style
+    scan script covering DC first+refine, AC spectral bands at successive
+    point transforms, and AC refinement — so the decoded image is
+    pixel-identical to decoding the baseline encoding."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    gray = nc == 1
+    lq = np.maximum(STD_LUMA_Q // quality_scale, 1)
+    cq = np.maximum(STD_CHROMA_Q // quality_scale, 1)
+    if gray:
+        planes = [arr[:, :, 0].astype(np.float64) - 128.0]
+        qts = [lq]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [lq, cq, cq]
+    comp_coeffs = [_forward_blocks(p, q) for p, q in zip(planes, qts)]
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    zz_l = np.zeros(64, dtype=np.int32)
+    zz_l[np.arange(64)] = lq.reshape(-1)[ZIGZAG]
+    seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_l))
+    if not gray:
+        zz_c = np.zeros(64, dtype=np.int32)
+        zz_c[np.arange(64)] = cq.reshape(-1)[ZIGZAG]
+        seg(0xDB, bytes([0x01]) + bytes(int(x) for x in zz_c))
+
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    seg(0xC2, sof)
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return bytes([(tc << 4) | th] + bits[1:] + vals)
+
+    seg(0xC4, dht(0, 0, _FLAT_DC))
+    seg(0xC4, dht(1, 0, _FLAT_AC))
+
+    enc_dc = _build_huff_encode(*_FLAT_DC)
+    enc_ac = _build_huff_encode(*_FLAT_AC)
+
+    def sos(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for ci in comps:
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    def entropy(fn, *args):
+        wtr = _ProgWriter(enc_dc, enc_ac)
+        fn(wtr, *args)
+        wtr.flush()
+        out.extend(wtr.out)
+
+    # libjpeg-style script: DC first (Al=1) → AC bands at their Al →
+    # AC refinements → DC refine
+    sos(list(range(ncomp)), 0, 0, 0, 1)
+    entropy(_enc_dc_scan, comp_coeffs, 1, True)
+    if gray:
+        script = [(0, 1, 5, 0, 2), (0, 6, 63, 0, 2),
+                  (0, 1, 63, 2, 1), (0, 1, 63, 1, 0)]
+    else:
+        script = [(0, 1, 5, 0, 2), (1, 1, 63, 0, 1), (2, 1, 63, 0, 1),
+                  (0, 6, 63, 0, 2), (0, 1, 63, 2, 1),
+                  (1, 1, 63, 1, 0), (2, 1, 63, 1, 0), (0, 1, 63, 1, 0)]
+    for ci, ss_, se_, ah_, al_ in script:
+        sos([ci], ss_, se_, ah_, al_)
+        if ah_ == 0:
+            entropy(_enc_ac_first, comp_coeffs[ci], ss_, se_, al_)
+        else:
+            entropy(_enc_ac_refine, comp_coeffs[ci], ss_, se_, al_)
+    sos(list(range(ncomp)), 0, 0, 1, 0)
+    entropy(_enc_dc_scan, comp_coeffs, 0, False)
     out.extend(b"\xff\xd9")
     return bytes(out)

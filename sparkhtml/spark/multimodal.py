@@ -461,14 +461,23 @@ def make_real_payload(doc_id: int) -> tuple[str, str, bytes, int | None]:
     import struct
 
     m = doc_id % 4
-    if m == 0:  # 8x8 solid color: PPM / PNG / JPEG / GIF cycle (same
-        # features for every container, so the closed-form oracle is
-        # container-agnostic). PNG rows cycle all five scanline filters;
-        # JPEG rows are quality_scale=16 baseline — DC quant step 1, so
-        # a solid color reconstructs EXACTLY (pinned by the
-        # solid-color sweep in tests)
+    if m == 0:  # 8x8 solid color: PPM / PNG / JPEG / GIF / progressive-
+        # JPEG cycle (same features for every container, so the
+        # closed-form oracle is container-agnostic). PNG rows cycle all
+        # five scanline filters; JPEG rows are quality_scale=16 — DC
+        # quant step 1, so a solid color reconstructs EXACTLY (pinned by
+        # the solid-color sweep in tests); the SOF2 rows exercise the
+        # round-5 progressive decode path end-to-end
         r, g, b = doc_id % 256, (3 * doc_id) % 256, (7 * doc_id) % 256
-        container = (doc_id // 4) % 4
+        container = (doc_id // 4) % 5
+        if container == 4:
+            from .jpeg import encode_jpeg_progressive
+
+            arr = np.full((8, 8, 3), (r, g, b), dtype=np.uint8)
+            return (
+                "image", "image/jpeg",
+                encode_jpeg_progressive(arr, quality_scale=16), None,
+            )
         if container == 1:
             arr = np.full((8, 8, 3), (r, g, b), dtype=np.uint8)
             return (
