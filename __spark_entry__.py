@@ -708,6 +708,36 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_domain_quota(spark, sf_dir):
+    """Per-domain quota sampling (curation guard against any single
+    source dominating the mix): top-5 docs per source by n_chars desc,
+    doc_id as the deterministic tie-break — one window over the domain
+    key (round 5, `sampling.domain_quota`)."""
+    from sparkhtml.spark.sampling import domain_quota
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return domain_quota(docs, k=5).select(
+        "doc_id", "source",
+        F.col("domain_rank").cast("bigint").alias("domain_rank"),
+    )
+
+
+def _q_pack_greedy(spark, sf_dir):
+    """Greedy first-fit sequence packing into 512-token bins per
+    language, ascending doc_id — the training-batch packing shape. The
+    packing is a deterministic fold, so the DuckDB oracle reproduces
+    the IDENTICAL bin assignments via a recursive CTE (round 5,
+    `sampling.pack_greedy`; buckets=N is the 10^12-row parallel mode,
+    exercised in pytest)."""
+    from sparkhtml.spark.sampling import pack_greedy
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return pack_greedy(docs, budget=512, group_col="lang").select(
+        "doc_id", F.col("group").alias("lang"), "tokens",
+        "bin_id", "bin_tokens",
+    )
+
+
 def _q_text_cleanup(spark, sf_dir):
     """C4-style corpus cleanup: control/zero-width strip, whitespace
     collapse, mojibake counting — seeded dirty suffix on every 4th doc
@@ -1090,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cleanup": _q_text_cleanup,
         "train_split": _q_train_split,
         "stratified_sample": _q_stratified_sample,
+        "domain_quota": _q_domain_quota,
+        "pack_greedy": _q_pack_greedy,
         "corpus_stats": _q_corpus_stats,
         "extract_links": _q_extract_links,
         "dedup_clusters": _q_dedup_clusters,
@@ -1520,6 +1552,32 @@ def oracle_sql() -> dict[str, str]:
             "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 "
             "ELSE 1.0 END AS f FROM documents) "
             "WHERE h < CAST(f * 10000 AS BIGINT)"
+        ),
+        "domain_quota": (
+            "SELECT doc_id, source, domain_rank FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id"
+            ") AS domain_rank FROM documents) WHERE domain_rank <= 5"
+        ),
+        "pack_greedy": (
+            # greedy first-fit packing is a deterministic fold over the
+            # doc_id order; the recursive CTE replays the identical fold
+            "WITH RECURSIVE ord AS ("
+            "SELECT doc_id, lang, length(list_filter("
+            "string_split_regex(text, '\\s+'), w -> length(w) > 0"
+            "))::BIGINT AS tokens, row_number() OVER ("
+            "PARTITION BY lang ORDER BY doc_id) AS rn FROM documents"
+            "), pack AS ("
+            "SELECT doc_id, lang, tokens, rn, 0::BIGINT AS bin_id, "
+            "tokens AS bin_tokens FROM ord WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT o.doc_id, o.lang, o.tokens, o.rn, "
+            "CASE WHEN p.bin_tokens > 0 AND p.bin_tokens + o.tokens > 512 "
+            "THEN p.bin_id + 1 ELSE p.bin_id END, "
+            "CASE WHEN p.bin_tokens > 0 AND p.bin_tokens + o.tokens > 512 "
+            "THEN o.tokens ELSE p.bin_tokens + o.tokens END "
+            "FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1"
+            ") SELECT doc_id, lang, tokens, bin_id, bin_tokens FROM pack"
         ),
         "text_cleanup": (
             # same seeded dirty suffix (chr: 9=TAB 7=BEL 8203=ZWSP

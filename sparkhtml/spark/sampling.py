@@ -68,3 +68,94 @@ def stratified_sample(
     for k, v in (fractions or {}).items():
         frac = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(frac)
     return df.filter(h < (frac * denom).cast("bigint"))
+
+
+def domain_quota(
+    df: DataFrame, k: int, domain_col: str = "source",
+    order_col: str = "n_chars", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quota: keep the top-``k`` rows of each domain, ranked
+    by ``order_col`` descending with ``id_col`` as the deterministic
+    tie-break — the standard curation guard against any single
+    domain/site dominating a training mix.
+
+    One window over one shuffle on the domain key; at 10^12 rows the
+    domain key is exactly the Iceberg partition-ish column you'd bucket
+    by anyway, and AQE's skew handling covers mega-domains. (The rank
+    arithmetic matches the reference's per-node window idiom —
+    SURVEY.md Q10/Q11 — applied at corpus level.)
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= k)
+    )
+
+
+def pack_greedy(
+    df: DataFrame, budget: int, group_col: str = "lang",
+    id_col: str = "doc_id", text_col: str = "text",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Greedy first-fit sequence packing: within each group, walk
+    documents in ascending ``id_col`` order and assign each to the
+    current bin unless adding it would exceed ``budget`` whitespace
+    tokens (then open a new bin; an oversized document gets a bin of its
+    own). The training-batch packing shape — deterministic, so the
+    DuckDB oracle reproduces the identical bins via a recursive CTE.
+
+    Returns (id, group, tokens, bin_id, bin_tokens) where ``bin_tokens``
+    is the running bin total after placing the row.
+
+    Scale posture: packing is sequential WITHIN a group by definition,
+    so parallelism = number of groups. ``buckets=N`` subdivides each
+    group by a content hash (``pmod(xxhash64(id), N)``) — bins then pack
+    within (group, bucket), which is the 10^12-row deployment mode
+    (4096 buckets → 4096-way parallel packing per group, each bucket a
+    few GB); ``buckets=None`` is the exact single-sequence order the
+    oracle checks.
+    """
+    from . import textstats as _ts
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("group"),
+        _ts.token_count(text_col).cast("bigint").alias("tokens"),
+    )
+    keys = ["group"]
+    if buckets is not None:
+        toks = toks.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+        )
+        keys.append("bucket")
+
+    out_schema = (
+        f"{id_col} bigint, group string, tokens bigint, "
+        "bin_id bigint, bin_tokens bigint"
+        + (", bucket bigint" if buckets is not None else "")
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, totals = [], []
+        bin_id, cur = 0, 0
+        for t in pdf["tokens"]:
+            t = int(t)
+            if cur > 0 and cur + t > budget:
+                bin_id += 1
+                cur = 0
+            cur += t
+            bins.append(bin_id)
+            totals.append(cur)
+        pdf["bin_id"] = bins
+        pdf["bin_tokens"] = totals
+        cols = [id_col, "group", "tokens", "bin_id", "bin_tokens"]
+        if "bucket" in pdf.columns:
+            cols.append("bucket")
+        return pdf[cols]
+
+    return toks.groupBy(*keys).applyInPandas(pack, schema=out_schema)

@@ -1091,3 +1091,57 @@ def test_knn_join_ivf_full_probe_exact_and_partial_recall(spark):
     hits = sum(len(part.get(q, set()) & s) for q, s in exact_sets.items())
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total >= 0.6, f"recall@5 {hits}/{total}"
+
+
+def test_domain_quota_and_pack_greedy(spark):
+    """Round-5 curation ops: per-domain top-k and greedy sequence
+    packing — edge cases the sf corpus doesn't hit (oversized docs, an
+    empty doc opening a bin, budget-exact fits) plus the bucketed
+    parallel packing mode."""
+    from sparkhtml.spark.sampling import domain_quota, pack_greedy
+
+    docs = spark.createDataFrame(
+        [(1, "a.com", 50), (2, "a.com", 90), (3, "a.com", 90),
+         (4, "b.com", 10)],
+        ["doc_id", "source", "n_chars"],
+    )
+    kept = {(r.doc_id, r.domain_rank)
+            for r in domain_quota(docs, k=2).collect()}
+    # ties on n_chars break by doc_id: 2 then 3; doc 1 is cut
+    assert kept == {(2, 1), (3, 2), (4, 1)}
+
+    rows = [
+        (1, "en", "one two three"),            # 3 tokens
+        (2, "en", " ".join(["w"] * 5)),        # 5 → bin 0 total 8
+        (3, "en", " ".join(["w"] * 4)),        # would make 12 > 10 → bin 1
+        (4, "en", ""),                         # 0 tokens, stays bin 1
+        (5, "en", " ".join(["w"] * 25)),       # oversized: own bin 2
+        (6, "en", "tail"),                     # bin 3 (prev bin full)
+        (7, "de", " ".join(["w"] * 10)),       # exact fit bin 0
+        (8, "de", "x"),                        # 10+1 > 10 → bin 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r.doc_id: (r.bin_id, r.bin_tokens)
+           for r in pack_greedy(df, budget=10, group_col="lang").collect()}
+    assert got == {1: (0, 3), 2: (0, 8), 3: (1, 4), 4: (1, 4),
+                   5: (2, 25), 6: (3, 1), 7: (0, 10), 8: (1, 1)}
+
+    # bucketed mode: same bins within each (group, bucket) sub-sequence
+    bucketed = pack_greedy(df, budget=10, group_col="lang", buckets=4)
+    rows_b = bucketed.collect()
+    assert {r.doc_id for r in rows_b} == set(range(1, 9))
+    import itertools
+
+    for (_, _), grp in itertools.groupby(
+        sorted(rows_b, key=lambda r: (r.group, r.bucket, r.doc_id)),
+        key=lambda r: (r.group, r.bucket),
+    ):
+        total = 0
+        prev_bin = 0
+        for r in grp:
+            if r.bin_id != prev_bin:
+                total = 0
+                prev_bin = r.bin_id
+            total += r.tokens
+            assert r.bin_tokens == total
+            assert total <= 10 or r.bin_tokens == r.tokens  # oversized solo
