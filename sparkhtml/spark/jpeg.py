@@ -950,29 +950,45 @@ def _emit_eobrun(w: _ProgWriter, eobrun: int) -> int:
     return 0
 
 
-def _enc_dc_scan(w, comp_coeffs, al, first: bool) -> None:
-    """Interleaved (4:4:4 → one block per comp per MCU) DC scan."""
+def _enc_dc_scan(w, comp_coeffs, al, first: bool,
+                 samplings=None) -> None:
+    """Interleaved DC scan in MCU order: h×v blocks per component per
+    MCU (``samplings`` = [(h, v), ...]; default one block each —
+    4:4:4/grayscale)."""
     ncomp = len(comp_coeffs)
-    bh, bw = comp_coeffs[0].shape[:2]
+    if samplings is None:
+        samplings = [(1, 1)] * ncomp
+    vmax = max(v for _h, v in samplings)
+    hmax = max(h for h, _v in samplings)
+    mcus_y = comp_coeffs[0].shape[0] // samplings[0][1]
+    mcus_x = comp_coeffs[0].shape[1] // samplings[0][0]
     preds = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
+
+    def one(ci, by, bx):
+        v = int(comp_coeffs[ci][by, bx, 0])
+        if first:
+            sv = v >> al  # DC point transform: arithmetic shift
+            diff = sv - preds[ci]
+            preds[ci] = sv
+            t, bits_v = _mag(diff)
+            w.sym_dc(t)
+            if t:
+                w.write(bits_v, t)
+        else:
+            w.write((v >> al) & 1, 1)
+
+    _ = (hmax, vmax)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for ci in range(ncomp):
-                v = int(comp_coeffs[ci][by, bx, 0])
-                if first:
-                    sv = v >> al  # DC point transform: arithmetic shift
-                    diff = sv - preds[ci]
-                    preds[ci] = sv
-                    t, bits_v = _mag(diff)
-                    w.sym_dc(t)
-                    if t:
-                        w.write(bits_v, t)
-                else:
-                    w.write((v >> al) & 1, 1)
+                ch, cv = samplings[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        one(ci, my * cv + by, mx * ch + bx)
 
 
-def _enc_ac_first(w, coeffs, ss, se, al) -> None:
-    bh, bw = coeffs.shape[:2]
+def _enc_ac_first(w, coeffs, ss, se, al, dims=None) -> None:
+    bh, bw = dims or coeffs.shape[:2]
     eobrun = 0
     for by in range(bh):
         for bx in range(bw):
@@ -1005,7 +1021,7 @@ def _enc_ac_first(w, coeffs, ss, se, al) -> None:
     _emit_eobrun(w, eobrun)
 
 
-def _enc_ac_refine(w, coeffs, ss, se, al) -> None:
+def _enc_ac_refine(w, coeffs, ss, se, al, dims=None) -> None:
     """T.81 G.1.2.3 successive-approximation refinement (libjpeg
     encode_mcu_AC_refine structure): newly-significant ±1 insertions with
     runs counted over still-zero positions only; 1-bit corrections for
@@ -1015,7 +1031,7 @@ def _enc_ac_refine(w, coeffs, ss, se, al) -> None:
     (libjpeg's BR vs BE buffers). ZRL is emitted the moment any nonzero
     is reached with run > 15, and only while k ≤ the last
     newly-significant position — everything after joins the EOB run."""
-    bh, bw = coeffs.shape[:2]
+    bh, bw = dims or coeffs.shape[:2]
     eobrun = 0
     run_bits: list[int] = []   # corrections of completed EOB-run blocks
 
@@ -1073,31 +1089,66 @@ def _enc_ac_refine(w, coeffs, ss, se, al) -> None:
     emit_eobrun()
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality_scale: int = 1) -> bytes:
+def encode_jpeg_progressive(arr: np.ndarray, quality_scale: int = 1,
+                            subsample: bool = False) -> bytes:
     """Progressive (SOF2) writer over the SAME quantized coefficients as
-    :func:`encode_jpeg`: grayscale or RGB→YCbCr 4:4:4, a libjpeg-style
-    scan script covering DC first+refine, AC spectral bands at successive
-    point transforms, and AC refinement — so the decoded image is
-    pixel-identical to decoding the baseline encoding."""
+    :func:`encode_jpeg`: grayscale or RGB→YCbCr 4:4:4 (or 4:2:0 with
+    ``subsample=True`` — the common web-progressive shape: interleaved
+    DC over 2×2+1+1-block MCUs, AC scans over each component's own
+    non-interleaved grid), a libjpeg-style scan script covering DC
+    first+refine, AC spectral bands at successive point transforms, and
+    AC refinement — so the decoded image is pixel-identical to decoding
+    the corresponding baseline encoding."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
     gray = nc == 1
     lq = np.maximum(STD_LUMA_Q // quality_scale, 1)
     cq = np.maximum(STD_CHROMA_Q // quality_scale, 1)
+
+    def pad_to(p: np.ndarray, mh: int, mw: int) -> np.ndarray:
+        outp = np.zeros((mh, mw), dtype=np.float64)
+        outp[: p.shape[0], : p.shape[1]] = p
+        if p.shape[0] < mh:
+            outp[p.shape[0]:, : p.shape[1]] = p[-1:, :]
+        if p.shape[1] < mw:
+            outp[:, p.shape[1]:] = outp[:, p.shape[1] - 1 : p.shape[1]]
+        return outp
+
     if gray:
         planes = [arr[:, :, 0].astype(np.float64) - 128.0]
         qts = [lq]
+        samplings = [(1, 1)]
     else:
         rgb = arr.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
         qts = [lq, cq, cq]
+        if subsample:
+            mcus_x, mcus_y = (w + 15) // 16, (h + 15) // 16
+            yp = pad_to(y, mcus_y * 16, mcus_x * 16)
+            cbp = pad_to(cb, mcus_y * 16, mcus_x * 16)
+            crp = pad_to(cr, mcus_y * 16, mcus_x * 16)
+            cbd = cbp.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+            crd = crp.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+            planes = [yp, cbd, crd]
+            samplings = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samplings = [(1, 1)] * 3
     comp_coeffs = [_forward_blocks(p, q) for p, q in zip(planes, qts)]
     ncomp = len(planes)
+    hmax = max(sh for sh, _sv in samplings)
+    vmax = max(sv for _sh, sv in samplings)
+    # non-interleaved (true) block dims per comp — AC scan traversal
+    # order; padded MCU-grid columns beyond these carry DC-only data
+    nonil = []
+    for (sh, sv) in samplings:
+        cw = (w * sh + hmax - 1) // hmax
+        ch_ = (h * sv + vmax - 1) // vmax
+        nonil.append(((ch_ + 7) // 8, (cw + 7) // 8))  # (nbh, nbw)
 
     out = bytearray(b"\xff\xd8")
 
@@ -1115,7 +1166,8 @@ def encode_jpeg_progressive(arr: np.ndarray, quality_scale: int = 1) -> bytes:
 
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sh, sv = samplings[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
     seg(0xC2, sof)
 
     def dht(tc, th, spec):
@@ -1144,7 +1196,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality_scale: int = 1) -> bytes:
     # libjpeg-style script: DC first (Al=1) → AC bands at their Al →
     # AC refinements → DC refine
     sos(list(range(ncomp)), 0, 0, 0, 1)
-    entropy(_enc_dc_scan, comp_coeffs, 1, True)
+    entropy(_enc_dc_scan, comp_coeffs, 1, True, samplings)
     if gray:
         script = [(0, 1, 5, 0, 2), (0, 6, 63, 0, 2),
                   (0, 1, 63, 2, 1), (0, 1, 63, 1, 0)]
@@ -1155,10 +1207,12 @@ def encode_jpeg_progressive(arr: np.ndarray, quality_scale: int = 1) -> bytes:
     for ci, ss_, se_, ah_, al_ in script:
         sos([ci], ss_, se_, ah_, al_)
         if ah_ == 0:
-            entropy(_enc_ac_first, comp_coeffs[ci], ss_, se_, al_)
+            entropy(_enc_ac_first, comp_coeffs[ci], ss_, se_, al_,
+                    nonil[ci])
         else:
-            entropy(_enc_ac_refine, comp_coeffs[ci], ss_, se_, al_)
+            entropy(_enc_ac_refine, comp_coeffs[ci], ss_, se_, al_,
+                    nonil[ci])
     sos(list(range(ncomp)), 0, 0, 1, 0)
-    entropy(_enc_dc_scan, comp_coeffs, 0, False)
+    entropy(_enc_dc_scan, comp_coeffs, 0, False, samplings)
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -816,6 +816,20 @@ def test_jpeg_progressive_codec():
             dp = decode_jpeg(encode_jpeg_progressive(img, quality_scale=qs))
             assert np.array_equal(db, dp), (name, qs)
 
+    # 4:2:0 progressive (the common web-progressive shape: interleaved
+    # DC over 2x2+1+1 MCUs, AC over per-component non-interleaved grids)
+    # must match the 4:2:0 BASELINE decode exactly too
+    rgb = np.clip(
+        rng.integers(0, 256, (33, 29, 3)).astype(np.float64) * 0.3
+        + np.linspace(0, 200, 29)[None, :, None], 0, 255
+    ).astype(np.uint8)
+    for qs in (2, 16):
+        db = decode_jpeg(encode_jpeg(rgb, quality_scale=qs, subsample=True))
+        dp = decode_jpeg(
+            encode_jpeg_progressive(rgb, quality_scale=qs, subsample=True)
+        )
+        assert np.array_equal(db, dp), ("420", qs)
+
     # solid color exact at fine quantization — the media-oracle property,
     # now held by the SOF2 path too
     for c in ((0, 0, 0), (255, 255, 255), (200, 100, 50)):
