@@ -1122,9 +1122,18 @@ def encode_jpeg_progressive(arr: np.ndarray, quality_scale: int = 1,
     else:
         rgb = arr.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        # NB: replicate the corresponding BASELINE encoder's float
+        # arithmetic EXACTLY (4:4:4 does the +128−128 round trip,
+        # 4:2:0 does not) — (x+128.0)−128.0 ≠ x for knife-edge values,
+        # and the pixel-identity assertion needs bit-equal coefficients
+        if subsample:
+            y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        else:
+            y = (0.299 * r + 0.587 * g + 0.114 * b) - 128.0
+            cb = (-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0) - 128.0
+            cr = (0.5 * r - 0.418688 * g - 0.081312 * b + 128.0) - 128.0
         qts = [lq, cq, cq]
         if subsample:
             mcus_x, mcus_y = (w + 15) // 16, (h + 15) // 16
