@@ -670,6 +670,39 @@ class TreeBuilder:
                     # ---- start tag ----
                     tk.last_start_tag = name
                     i = end
+                    if (
+                        mode0 == "in-cell"
+                        and (name == "td" or name == "th")
+                        and not self_closing
+                    ):
+                        top = oe[-1]
+                        if (
+                            top.ns == NS_HTML
+                            and (top.tag == "td" or top.tag == "th")
+                            and af
+                            and af[-1] is MARKER
+                            and len(oe) >= 2
+                            and oe[-2].tag == "tr"
+                            and oe[-2].ns == NS_HTML
+                        ):
+                            # implied cell boundary <td>a<td>b — same
+                            # reduction as the fused </td><td> chain:
+                            # close-the-cell is one pop + one AFE-marker
+                            # pop when the cell IS the current node (no
+                            # implied end tags fire, no parse error),
+                            # and the in-row reopen inserts under the tr
+                            oe.pop()
+                            af.pop()
+                            cur = oe[-1]
+                            if len(oe) < md:
+                                el = Node(ELEMENT, name, NS_HTML, attrs)
+                                el.parent = cur
+                                cur.children.append(el)
+                                oe.append(el)
+                            else:
+                                self.parse_error("depth-limit-exceeded")
+                            af.append(MARKER)
+                            continue
                     if name not in special_start:
                         # 'any other start tag': reconstruct + insert
                         if af:

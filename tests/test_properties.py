@@ -291,6 +291,7 @@ def test_fast_tag_path_matches_state_machine(attrs, tail):
     "<p>", "</p>", "<b>", "</b>", "<i>", "</i>", "<a href='/x'>", "</a>",
     "<div>", "</div>", "<span>", "</span>", "<ul>", "<li>", "</li>", "</ul>",
     "<h2>", "</h2>", "<table>", "<tr>", "<td>", "</td>", "</tr>", "</table>",
+    "<th>", "</th>", "<td class=c>", "<tbody>",
     "<pre>", "</pre>", "<nobr>", "</nobr>", "<em class='q'>", "</em>",
     "<svg>", "</svg>", "<script>", "</script>", "<br>", "<img src=x>",
     "<foreignObject>", "</foreignObject>", "<desc>", "</desc>",

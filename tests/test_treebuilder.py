@@ -74,3 +74,31 @@ def test_tree_construction(data, expected, fragment):
         tb = parse(data)
         got = html5lib_dump(tb.document)
     assert got == expected, f"input={data!r}\n--- expected ---\n{expected}\n--- got ---\n{got}"
+
+
+def test_implied_cell_boundary_fused_matches_pull():
+    """Round-5 turbo fusion of the IMPLIED cell boundary (<td>a<td>b —
+    the common web table shape; r4 fused only the explicit </td><td>
+    chain): tree + error-multiset equality with the pull path across the
+    boundary variants."""
+    from sparkhtml.serializer import html5lib_dump
+    from sparkhtml.treebuilder import parse
+
+    cases = [
+        "<table><tr><td>a<td>b<td>c</table>",
+        "<table><tr><td>a<th>b<td>c</tr><tr><td>d</table>",
+        "<table><tr><td><b>x<td>y</table>",      # AFE crosses boundary
+        "<table><tr><td><p>x<td>y</table>",      # implied </p> first
+        "<table><tr><td>a<td/></table>",         # self-closing td
+        "<table><tr><td>a<td class=q>b</table>",
+        "<table><tbody><tr><td>1<td>2<tr><td>3<td>4</table>",
+        "<table><tr><td>a<svg><g/></svg><td>b</table>",
+        "<table><tr><td>a<td><table><tr><td>n1<td>n2</table>"
+        "<td>after</table>",
+        "<table><tr><th>h1<th>h2<tr><td>d1<td>d2</table>",
+    ]
+    for c in cases:
+        fused = parse(c, use_turbo=True)
+        pull = parse(c, use_turbo=False)
+        assert html5lib_dump(fused.document) == html5lib_dump(pull.document), c
+        assert sorted(fused.errors) == sorted(pull.errors), c
