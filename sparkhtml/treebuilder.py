@@ -1208,7 +1208,10 @@ class TreeBuilder:
             if (
                 node.tag == el.tag
                 and node.ns == el.ns
-                and sorted(node.attrs) == sorted(el.attrs)
+                and (node.attrs == el.attrs  # fast path: same order (or both
+                     # empty — the common <b>/<i>/<em> case); == implies
+                     # the sorted equality below
+                     or sorted(node.attrs) == sorted(el.attrs))
             ):
                 count += 1
                 if count == 3:
