@@ -1159,3 +1159,34 @@ def test_domain_quota_and_pack_greedy(spark):
             total += r.tokens
             assert r.bin_tokens == total
             assert total <= 10 or r.bin_tokens == r.tokens  # oversized solo
+
+
+def test_arrow_pipeline_pathological_docs(spark):
+    """Pathological inputs through the RecordBatch-native pipeline: a
+    50k-deep div bomb (depth guard caps the tree, job completes), a
+    NUL-and-truncated-tag doc, and a multi-MB entity-dense span — the
+    poisoned-document-cannot-kill-the-job property at the Spark layer
+    (SCALE.md §4), now on the mapInArrow path."""
+    bomb = "<div>" * 50000
+    nasty = "a\x00b<tag <p>unclosed &amp tail"
+    dense = "<p>" + "&amp;x " * 200000 + "</p>"
+    df = spark.createDataFrame(
+        [("b", [{"kind": "text", "text": bomb, "media_ref": None,
+                 "offset": 0}]),
+         ("n", [{"kind": "text", "text": nasty, "media_ref": None,
+                 "offset": 0},
+                {"kind": "media", "text": None, "media_ref": "m-1",
+                 "offset": 1}]),
+         ("e", [{"kind": "text", "text": dense, "media_ref": None,
+                 "offset": 0}])],
+        schema=schemas.DOCUMENTS_INTERLEAVED,
+    )
+    rows = {r["doc_id"]: r for r in extract_spans_df(df).collect()}
+    assert set(rows) == {"b", "n", "e"}
+    # media span survives alongside the malformed text span
+    assert [s["kind"] for s in rows["n"]["spans"]].count("media") == 1
+    # entity-dense span extracts with entities decoded
+    assert any("&x" in (s["text"] or "") for s in rows["e"]["spans"])
+    m = {r["doc_id"]: r for r in extract_metrics_df(df).collect()}
+    assert m["b"]["max_depth"] > 0  # parsed (capped), not hung/crashed
+    assert m["n"]["n_errors"] > 0   # malformed doc surfaced as error counts
