@@ -738,6 +738,25 @@ def _q_pack_greedy(spark, sf_dir):
     )
 
 
+def _q_pack_greedy_bucketed(spark, sf_dir):
+    """The 10^12-row parallel packing mode: each language subdivided
+    into 8 content-addressed buckets (md5 ``hash_bucket``, so the
+    oracle replays the EXACT bucket assignment), greedy first-fit
+    within each (lang, bucket) sub-sequence. Round 6 — promotes the
+    bucketed mode from pytest-only to an exact driver oracle; the
+    DuckDB recursive CTE recomputes buckets and replays the identical
+    fold per (lang, bucket)."""
+    from sparkhtml.spark.sampling import pack_greedy
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return pack_greedy(
+        docs, budget=512, group_col="lang", buckets=8
+    ).select(
+        "doc_id", F.col("group").alias("lang"), "tokens",
+        "bucket", "bin_id", "bin_tokens",
+    )
+
+
 def _q_text_cleanup(spark, sf_dir):
     """C4-style corpus cleanup: control/zero-width strip, whitespace
     collapse, mojibake counting — seeded dirty suffix on every 4th doc
@@ -1122,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "domain_quota": _q_domain_quota,
         "pack_greedy": _q_pack_greedy,
+        "pack_greedy_bucketed": _q_pack_greedy_bucketed,
         "corpus_stats": _q_corpus_stats,
         "extract_links": _q_extract_links,
         "dedup_clusters": _q_dedup_clusters,
@@ -1578,6 +1598,33 @@ def oracle_sql() -> dict[str, str]:
             "THEN o.tokens ELSE p.bin_tokens + o.tokens END "
             "FROM pack p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1"
             ") SELECT doc_id, lang, tokens, bin_id, bin_tokens FROM pack"
+        ),
+        "pack_greedy_bucketed": (
+            # bucket = content-addressed md5 hash (replays Spark's
+            # hash_bucket exactly); then the identical greedy fold per
+            # (lang, bucket) sub-sequence via the recursive CTE
+            "WITH RECURSIVE ord AS ("
+            "SELECT doc_id, lang, length(list_filter("
+            "string_split_regex(text, '\\s+'), w -> length(w) > 0"
+            "))::BIGINT AS tokens, "
+            "('0x' || substr(md5('pack-v1:' || doc_id::VARCHAR), 1, 6))"
+            "::BIGINT % 8 AS bucket, row_number() OVER ("
+            "PARTITION BY lang, ('0x' || substr(md5('pack-v1:' || "
+            "doc_id::VARCHAR), 1, 6))::BIGINT % 8 ORDER BY doc_id"
+            ") AS rn FROM documents"
+            "), pack AS ("
+            "SELECT doc_id, lang, tokens, bucket, rn, 0::BIGINT AS bin_id, "
+            "tokens AS bin_tokens FROM ord WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT o.doc_id, o.lang, o.tokens, o.bucket, o.rn, "
+            "CASE WHEN p.bin_tokens > 0 AND p.bin_tokens + o.tokens > 512 "
+            "THEN p.bin_id + 1 ELSE p.bin_id END, "
+            "CASE WHEN p.bin_tokens > 0 AND p.bin_tokens + o.tokens > 512 "
+            "THEN o.tokens ELSE p.bin_tokens + o.tokens END "
+            "FROM pack p JOIN ord o ON o.lang = p.lang "
+            "AND o.bucket = p.bucket AND o.rn = p.rn + 1"
+            ") SELECT doc_id, lang, tokens, bucket, bin_id, bin_tokens "
+            "FROM pack"
         ),
         "text_cleanup": (
             # same seeded dirty suffix (chr: 9=TAB 7=BEL 8203=ZWSP

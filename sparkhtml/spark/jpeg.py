@@ -480,6 +480,38 @@ def _ac_refine_block(blk, reader, ss, se, al, table, eobrun) -> int:
     return eobrun
 
 
+def _upsample_axis(plane: np.ndarray, axis: int) -> np.ndarray:
+    """Factor-2 triangular ("fancy") upsample along one axis — the
+    libjpeg jdsample.c h2v1/h2v2 filter shape (3:1 nearest:far weights,
+    edge samples replicated), in float; h2v2 is this filter applied
+    separably to both axes. Round-6 fidelity fix: plain ``np.repeat``
+    replication is spec-legal but diverged from libjpeg's decode by a
+    mean of ~15/255 on 4:2:0 content; triangular brings the
+    independent-decoder differential to sub-1 mean (pinned in
+    test_jpeg_libjpeg_fixture)."""
+    s = np.moveaxis(plane, axis, 0)
+    prev = np.concatenate([s[:1], s[:-1]], axis=0)
+    nxt = np.concatenate([s[1:], s[-1:]], axis=0)
+    out = np.empty((2 * s.shape[0],) + s.shape[1:], dtype=np.float64)
+    out[0::2] = (3.0 * s + prev) * 0.25
+    out[1::2] = (3.0 * s + nxt) * 0.25
+    return np.moveaxis(out, 0, axis)
+
+
+def _upsample_plane(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Upsample a chroma plane by (fh, fv): triangular for the 2×
+    factors the format actually uses, replication fallback otherwise."""
+    if fh == 2:
+        plane = _upsample_axis(plane, 1)
+    elif fh > 1:
+        plane = np.repeat(plane, fh, axis=1)
+    if fv == 2:
+        plane = _upsample_axis(plane, 0)
+    elif fv > 1:
+        plane = np.repeat(plane, fv, axis=0)
+    return plane
+
+
 def _assemble(frame, planes) -> np.ndarray:
     """Padded per-component pixel planes → upsample, crop, color-convert."""
     h, w = frame["h"], frame["w"]
@@ -488,10 +520,7 @@ def _assemble(frame, planes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     full = []
     for c, plane in zip(comps, planes):
-        if c["h"] != hmax:
-            plane = np.repeat(plane, hmax // c["h"], axis=1)
-        if c["v"] != vmax:
-            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = _upsample_plane(plane, hmax // c["h"], vmax // c["v"])
         full.append(plane[:h, :w])
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
@@ -582,10 +611,7 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
     # upsample to full res and convert
     full = []
     for c, plane in zip(comps, planes):
-        if c["h"] != hmax:
-            plane = np.repeat(plane, hmax // c["h"], axis=1)
-        if c["v"] != vmax:
-            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = _upsample_plane(plane, hmax // c["h"], vmax // c["v"])
         full.append(plane[:h, :w])
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)

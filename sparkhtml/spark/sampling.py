@@ -73,11 +73,17 @@ def stratified_sample(
 def domain_quota(
     df: DataFrame, k: int, domain_col: str = "source",
     order_col: str = "n_chars", id_col: str = "doc_id",
+    rank_col: str = "domain_rank",
 ) -> DataFrame:
     """Per-domain quota: keep the top-``k`` rows of each domain, ranked
     by ``order_col`` descending with ``id_col`` as the deterministic
     tie-break — the standard curation guard against any single
     domain/site dominating a training mix.
+
+    Output contract: the returned frame is the input columns plus
+    ``rank_col`` (1-based rank within the domain). ``rank_col`` must
+    not already exist on the input — silently overwriting a caller's
+    column would corrupt it, so that raises.
 
     One window over one shuffle on the domain key; at 10^12 rows the
     domain key is exactly the Iceberg partition-ish column you'd bucket
@@ -87,12 +93,17 @@ def domain_quota(
     """
     from pyspark.sql import Window
 
+    if rank_col in df.columns:
+        raise ValueError(
+            f"domain_quota: input already has a {rank_col!r} column; "
+            "pass rank_col= to pick a non-colliding output name"
+        )
     w = Window.partitionBy(domain_col).orderBy(
         F.col(order_col).desc(), F.col(id_col)
     )
     return (
-        df.withColumn("domain_rank", F.row_number().over(w))
-        .filter(F.col("domain_rank") <= k)
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
     )
 
 
@@ -113,11 +124,12 @@ def pack_greedy(
 
     Scale posture: packing is sequential WITHIN a group by definition,
     so parallelism = number of groups. ``buckets=N`` subdivides each
-    group by a content hash (``pmod(xxhash64(id), N)``) — bins then pack
-    within (group, bucket), which is the 10^12-row deployment mode
-    (4096 buckets → 4096-way parallel packing per group, each bucket a
-    few GB); ``buckets=None`` is the exact single-sequence order the
-    oracle checks.
+    group by the content-addressed ``hash_bucket`` (md5-based, so an
+    external engine can replay the exact bucket assignment — the DuckDB
+    oracle does) — bins then pack within (group, bucket), which is the
+    10^12-row deployment mode (4096 buckets → 4096-way parallel packing
+    per group, each bucket a few GB); ``buckets=None`` is the exact
+    single-sequence order.
     """
     from . import textstats as _ts
 
@@ -129,12 +141,16 @@ def pack_greedy(
     keys = ["group"]
     if buckets is not None:
         toks = toks.withColumn(
-            "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+            "bucket", hash_bucket(id_col, "pack-v1", buckets)
         )
         keys.append("bucket")
 
+    # id keeps its input type: pandas sort_values on a string id is
+    # lexicographic, same as DuckDB ORDER BY on VARCHAR, so the fold
+    # order stays engine-identical for both numeric and string ids.
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} bigint, group string, tokens bigint, "
+        f"{id_col} {id_type}, group string, tokens bigint, "
         "bin_id bigint, bin_tokens bigint"
         + (", bucket bigint" if buckets is not None else "")
     )

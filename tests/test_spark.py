@@ -782,6 +782,44 @@ def test_jpeg_codec():
         decode_jpeg(b"not a jpeg")
 
 
+def test_jpeg_libjpeg_fixture():
+    """INDEPENDENT-ENCODER differential (ADVICE round-5 #3): fixtures
+    produced by the system libjpeg-turbo (`scripts/gen_libjpeg_fixture.c`
+    — zero shared code with this repo), a 48x32 RGB pattern at quality
+    75, default 4:2:0, baseline AND jpeg_simple_progression's 10-scan
+    spectral-selection + successive-approximation script (the T.81 §G.2
+    shapes the repo's own encoder could have mirrored a misreading of).
+
+    Pins: (1) our decode of libjpeg's PROGRESSIVE stream is
+    pixel-identical to our decode of libjpeg's BASELINE stream — the
+    two streams carry the same quantized coefficients, so any EOB-run /
+    correction-bit misunderstanding breaks equality; (2) both decodes
+    agree with libjpeg's OWN decoded pixels (checked-in .rgb dumps)
+    within IDCT/upsampling rounding (max |Δ| ≤ 4, mean ≤ 1 — measured
+    0.41 mean with the triangular chroma upsampler)."""
+    import os
+
+    import numpy as np
+
+    from sparkhtml.spark.jpeg import decode_jpeg
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "jpeg")
+    prog = open(os.path.join(fdir, "libjpeg_prog.jpg"), "rb").read()
+    base = open(os.path.join(fdir, "libjpeg_base.jpg"), "rb").read()
+    assert b"\xff\xc2" in prog[:200] and b"\xff\xc0" in base[:200]  # SOF2/SOF0
+
+    dp, db = decode_jpeg(prog), decode_jpeg(base)
+    assert dp.shape == db.shape == (32, 48, 3)
+    assert np.array_equal(dp, db), "progressive != baseline coefficients"
+
+    for arr, name in ((dp, "libjpeg_prog.rgb"), (db, "libjpeg_base.rgb")):
+        ref = np.frombuffer(
+            open(os.path.join(fdir, name), "rb").read(), np.uint8
+        ).reshape(32, 48, 3)
+        d = np.abs(arr.astype(int) - ref.astype(int))
+        assert d.max() <= 4 and d.mean() <= 1.0, (name, d.max(), d.mean())
+
+
 def test_jpeg_progressive_codec():
     """Progressive (SOF2) decode — round 5. The progressive encoder
     re-encodes the SAME quantized coefficients as the baseline encoder
@@ -1159,6 +1197,23 @@ def test_domain_quota_and_pack_greedy(spark):
             total += r.tokens
             assert r.bin_tokens == total
             assert total <= 10 or r.bin_tokens == r.tokens  # oversized solo
+
+    # ADVICE round-5: a pre-existing rank column must raise, not be
+    # silently overwritten
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="domain_rank"):
+        domain_quota(docs.withColumn("domain_rank", docs.doc_id), k=2)
+
+    # ADVICE round-5: string ids keep their type in the output schema
+    # and pack in lexicographic (engine-portable) order
+    sdf = spark.createDataFrame(
+        [("b", "en", "w w w w w w"), ("a", "en", "w w w w w w")],
+        ["doc_id", "lang", "text"],
+    )
+    srows = {r.doc_id: r.bin_id
+             for r in pack_greedy(sdf, budget=10, group_col="lang").collect()}
+    assert srows == {"a": 0, "b": 1}  # 'a' first, 6+6 > 10 splits
 
 
 def test_arrow_pipeline_pathological_docs(spark):
