@@ -201,6 +201,76 @@ def extract_spans_df(documents: DataFrame, *, arrow: bool = True) -> DataFrame:
     return src.mapInPandas(_extract_batch, schema=schemas.SPANS_OUT)
 
 
+def _extract_arrow_packed(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow worker for the PACKED payload encoding: each row's
+    spans arrive as one JSON string (JVM-side ``to_json``), and leave
+    the same way (rebuilt JVM-side with ``from_json``). Same extraction
+    semantics as :func:`_extract_arrow` (parity-tested).
+
+    Round-6 pump probe (VERDICT r5 #5): the InternalRow↔Arrow crossing
+    was measured bytes-bound and non-scaling past ~8 threads; this
+    variant trades the nested list<struct> column (4 child arrays +
+    offsets on both directions of the crossing) for a single flat
+    string column, to measure whether payload SHAPE (not size) is part
+    of the ceiling. See BENCH/run_pump_probe.py + SCALE.md §3.
+    """
+    import json
+
+    for batch in batches:
+        payloads = batch.column("spans_json").to_pylist()
+        out: list = []
+        for payload in payloads:
+            spans = json.loads(payload) if payload else []
+            rows = sorted(
+                spans, key=lambda s: s.get("offset") or 0
+            )
+            acc = []
+            for s in rows:
+                k = s.get("kind")
+                if k == "media":
+                    acc.append(
+                        {"kind": "media", "text": None,
+                         "media_ref": s.get("media_ref"),
+                         "offset": s.get("offset")}
+                    )
+                elif k == "text":
+                    extracted = extract_main_text(s.get("text") or "")
+                    if extracted:
+                        acc.append(
+                            {"kind": "text", "text": extracted,
+                             "media_ref": None, "offset": s.get("offset")}
+                        )
+            out.append(json.dumps(acc, ensure_ascii=False))
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), pa.array(out, pa.string())],
+            names=["doc_id", "spans_json"],
+        )
+
+
+def extract_spans_df_packed(documents: DataFrame) -> DataFrame:
+    """North-rule pipeline over the packed (single-JSON-string) payload
+    encoding: ``to_json`` / ``from_json`` stay JVM-side (Catalyst
+    expressions inside WholeStageCodegen), so the Python crossing
+    carries exactly one flat string column each way. Output is
+    value-identical to :func:`extract_spans_df` (parity-tested); kept
+    behind this separate entry point until the probe shows ≥1.15× at
+    32 cores (BENCH/run_pump_probe.py)."""
+    src = documents.select(
+        "doc_id", F.to_json(F.col("spans")).alias("spans_json")
+    )
+    out = src.mapInArrow(
+        _extract_arrow_packed, schema="doc_id string, spans_json string"
+    )
+    return out.select(
+        "doc_id",
+        F.from_json(
+            F.col("spans_json"), schemas.T.ArrayType(schemas.SPAN)
+        ).alias("spans"),
+    )
+
+
 def extract_spans_balanced(documents: DataFrame, partitions: int) -> DataFrame:
     """Same, but repartitioned by (size_bucket, salt) first so heavy
     documents spread evenly — the skew plan of SURVEY.md §4.3."""

@@ -86,6 +86,34 @@ def test_arrow_and_pandas_workers_agree(spark, docs_df):
     assert na == nb and len(na) > 0
 
 
+def test_packed_payload_encoding_agrees(spark, docs_df):
+    """Round-6 pump probe: the packed (single-JSON-string crossing)
+    realization of the north-rule stage must be value-identical to the
+    struct-schema realization, including null/empty/no-offset rows."""
+    from sparkhtml.spark.pipeline import extract_spans_df_packed
+
+    a = extract_spans_df(docs_df, arrow=True).sort("doc_id").collect()
+    p = extract_spans_df_packed(docs_df).sort("doc_id").collect()
+    assert [r.asDict(recursive=True) for r in a] == [
+        r.asDict(recursive=True) for r in p
+    ]
+
+    edge = spark.createDataFrame(
+        [("e0", None),
+         ("e1", []),
+         ("e2", [{"kind": "media", "text": None, "media_ref": "m-1",
+                  "offset": None},
+                 {"kind": "text", "text": "<p>enough words to be main "
+                  "content here ok</p>", "media_ref": None, "offset": 0}])],
+        schema=schemas.DOCUMENTS_INTERLEAVED,
+    )
+    a = extract_spans_df(edge, arrow=True).sort("doc_id").collect()
+    p = extract_spans_df_packed(edge).sort("doc_id").collect()
+    assert [r.asDict(recursive=True) for r in a] == [
+        r.asDict(recursive=True) for r in p
+    ]
+
+
 def test_arrow_extract_null_and_empty_span_rows(spark):
     """Null spans arrays and rows with no surviving spans must flatten and
     rebuild correctly (ListArray offsets bookkeeping)."""
