@@ -71,11 +71,26 @@ def cosine_topk_vs(
     for the same reason).
     """
     qv = query_vec_col or vec_col
-    q = query_df.select(
-        F.col(qv).alias("_qv"),
-        F.greatest(_norm_col(qv), F.lit(1e-12)).alias("_qnorm"),
-    )
-    joined = df.crossJoin(F.broadcast(q))
+    if hasattr(query_df, "scalar"):
+        # Spark 4 scalar-subquery shape (round 6): the query vector and
+        # norm are evaluated once as subqueries and flow into the scan
+        # as runtime values — no BroadcastExchange +
+        # BroadcastNestedLoopJoin per run. Measured interleaved at
+        # local[32] on sf0.1: join-shape 1.36x the literal baseline,
+        # this shape 1.18x (BENCH/BASELINE.md round-6 q5 attribution).
+        # Subquery columns can't appear INSIDE higher-order functions,
+        # so they're materialized to plain columns first.
+        q = query_df.select(F.col(qv).alias("_qv")).scalar()
+        qn = query_df.select(
+            F.greatest(_norm_col(qv), F.lit(1e-12)).alias("_qnorm")
+        ).scalar()
+        joined = df.withColumn("_qv", q).withColumn("_qnorm", qn)
+    else:  # pre-4.0 fallback: broadcast the 1-row frame
+        q = query_df.select(
+            F.col(qv).alias("_qv"),
+            F.greatest(_norm_col(qv), F.lit(1e-12)).alias("_qnorm"),
+        )
+        joined = df.crossJoin(F.broadcast(q))
     cos = dot_col(F.col(vec_col), F.col("_qv")) / (
         F.greatest(_norm_col(vec_col), F.lit(1e-12)) * F.col("_qnorm")
     )
