@@ -79,12 +79,20 @@ def cosine_topk_vs(
         # local[32] on sf0.1: join-shape 1.36x the literal baseline,
         # this shape 1.18x (BENCH/BASELINE.md round-6 q5 attribution).
         # Subquery columns can't appear INSIDE higher-order functions,
-        # so they're materialized to plain columns first.
-        q = query_df.select(F.col(qv).alias("_qv")).scalar()
-        qn = query_df.select(
-            F.greatest(_norm_col(qv), F.lit(1e-12)).alias("_qnorm")
+        # so they're materialized to plain columns first; ONE struct
+        # subquery carries both vector and norm (two separate scalar()
+        # calls would execute the query frame twice per action).
+        q = query_df.select(
+            F.struct(
+                F.col(qv).alias("v"),
+                F.greatest(_norm_col(qv), F.lit(1e-12)).alias("n"),
+            ).alias("_q")
         ).scalar()
-        joined = df.withColumn("_qv", q).withColumn("_qnorm", qn)
+        joined = (
+            df.withColumn("_q", q)
+            .withColumn("_qv", F.col("_q.v"))
+            .withColumn("_qnorm", F.col("_q.n"))
+        )
     else:  # pre-4.0 fallback: broadcast the 1-row frame
         q = query_df.select(
             F.col(qv).alias("_qv"),
