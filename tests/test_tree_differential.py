@@ -44,9 +44,10 @@ from sparkhtml.treebuilder import COMMENT, DOCTYPE, ELEMENT, TEXT, parse
 N_DOCS = int(os.environ.get("SPARKHTML_DIFF_DOCS", "2000"))
 SEED = int(os.environ.get("SPARKHTML_DIFF_SEED", "6"))
 
-VOIDS = {"br", "img", "hr", "input", "wbr"}
+VOIDS = {"br", "img", "hr", "input", "wbr", "col"}
 RAW = ["script", "style"]
-BLOCK = ["div", "section", "article", "blockquote", "ul", "h1", "h2", "p"]
+BLOCK = ["div", "section", "article", "blockquote", "ul", "h1", "h2", "p",
+         "table", "dl", "pre", "form"]
 INLINE = ["span", "b", "i", "em", "strong", "a", "code", "small"]
 WORDS = ["alpha", "beta", "gamma", "delta", "words", "Héllo", "naïve", "42",
          "mixed CASE", "tail"]
@@ -101,6 +102,30 @@ def _inline(rng: random.Random, depth: int, in_a: bool) -> str:
     return "".join(parts)
 
 
+def _table(rng: random.Random, depth: int) -> str:
+    """Fully-explicit table markup: every structural element written and
+    closed, NO text directly inside table/tbody/tr (the only shapes
+    where WHATWG inserts anywhere other than write-order are the
+    implied/fostered ones the grammar excludes)."""
+    parts = [f"<table{_attrs(rng)}>"]
+    if rng.random() < 0.3:
+        parts.append(f"<caption>{_inline(rng, depth + 2, False)}</caption>")
+    if rng.random() < 0.25:
+        cols = "".join(f"<col{_attrs(rng)}>" for _ in range(rng.randint(1, 2)))
+        parts.append(f"<colgroup>{cols}</colgroup>")
+    parts.append("<tbody>")
+    for _ in range(rng.randint(1, 3)):
+        parts.append("<tr>")
+        for _ in range(rng.randint(1, 3)):
+            cell = rng.choice(("td", "th"))
+            parts.append(
+                f"<{cell}{_attrs(rng)}>{_flow(rng, depth + 3)}</{cell}>"
+            )
+        parts.append("</tr>")
+    parts.append("</tbody></table>")
+    return "".join(parts)
+
+
 def _flow(rng: random.Random, depth: int) -> str:
     parts = []
     for _ in range(rng.randint(1, 4)):
@@ -125,6 +150,27 @@ def _flow(rng: random.Random, depth: int) -> str:
                     for _ in range(rng.randint(1, 3))
                 )
                 parts.append(f"<ul{_attrs(rng)}>{items}</ul>")
+            elif tag == "table":
+                parts.append(_table(rng, depth))
+            elif tag == "dl":
+                items = "".join(
+                    f"<dt{_attrs(rng)}>{_inline(rng, depth + 2, False)}</dt>"
+                    f"<dd{_attrs(rng)}>{_flow(rng, depth + 2)}</dd>"
+                    for _ in range(rng.randint(1, 2))
+                )
+                parts.append(f"<dl{_attrs(rng)}>{items}</dl>")
+            elif tag == "pre":
+                # content must not START with \n (spec skips it; the
+                # stdlib does not) — _text never leads with a newline
+                parts.append(f"<pre{_attrs(rng)}>{_text(rng)}</pre>")
+            elif tag == "form":
+                # forms never nest (the form-element pointer ignores an
+                # inner <form>) — strip form from the inner choices by
+                # bumping depth into the inline-only regime at random
+                parts.append(
+                    f"<form{_attrs(rng)}>{_inline(rng, depth + 1, False)}"
+                    "</form>"
+                )
             elif tag in ("p", "h1", "h2") or tag in INLINE:
                 parts.append(
                     f"<{tag}{_attrs(rng)}>"
