@@ -757,6 +757,21 @@ def _q_pack_greedy_bucketed(spark, sf_dir):
     )
 
 
+def _q_mix_to_budget(spark, sf_dir):
+    """Deterministic token-budget corpus mixing (round 6,
+    `sampling.mix_to_budget`): keep documents per language in
+    content-addressed md5 order until the language's token budget is
+    crossed (en 4000 tokens, de 1500, others unlimited). One window
+    shuffle on the group key; the DuckDB oracle replays the identical
+    hash order and running sum."""
+    from sparkhtml.spark.sampling import mix_to_budget
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return mix_to_budget(docs, {"en": 4000, "de": 1500}).select(
+        "doc_id", F.col("group").alias("lang"), "tokens", "cum_tokens"
+    )
+
+
 def _q_text_cleanup(spark, sf_dir):
     """C4-style corpus cleanup: control/zero-width strip, whitespace
     collapse, mojibake counting — seeded dirty suffix on every 4th doc
@@ -1142,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": _q_domain_quota,
         "pack_greedy": _q_pack_greedy,
         "pack_greedy_bucketed": _q_pack_greedy_bucketed,
+        "mix_to_budget": _q_mix_to_budget,
         "corpus_stats": _q_corpus_stats,
         "extract_links": _q_extract_links,
         "dedup_clusters": _q_dedup_clusters,
@@ -1625,6 +1641,21 @@ def oracle_sql() -> dict[str, str]:
             "AND o.bucket = p.bucket AND o.rn = p.rn + 1"
             ") SELECT doc_id, lang, tokens, bucket, bin_id, bin_tokens "
             "FROM pack"
+        ),
+        "mix_to_budget": (
+            # identical md5 mixing order + running token sum; keep rows
+            # that START before the budget line (cum - tokens < budget)
+            "WITH t AS (SELECT doc_id, lang, length(list_filter("
+            "string_split_regex(text, '\\s+'), w -> length(w) > 0"
+            "))::BIGINT AS tokens, md5('mix-v1:' || doc_id::VARCHAR) AS h "
+            "FROM documents), "
+            "c AS (SELECT doc_id, lang, tokens, sum(tokens) OVER ("
+            "PARTITION BY lang ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cum_tokens, "
+            "CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500 "
+            "ELSE NULL END AS budget FROM t) "
+            "SELECT doc_id, lang, tokens, cum_tokens FROM c "
+            "WHERE budget IS NULL OR cum_tokens - tokens < budget"
         ),
         "text_cleanup": (
             # same seeded dirty suffix (chr: 9=TAB 7=BEL 8203=ZWSP

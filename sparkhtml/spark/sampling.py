@@ -107,6 +107,64 @@ def domain_quota(
     )
 
 
+def mix_to_budget(
+    df: DataFrame, budgets: dict[str, int],
+    default_budget: int | None = None, group_col: str = "lang",
+    id_col: str = "doc_id", text_col: str = "text",
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic token-budget corpus mixing (round 6): for each
+    group (language/source/domain), keep documents until the group's
+    token budget is exhausted — the "sample 30B tokens of en, 10B of
+    de" training-mixture op.
+
+    Selection order within a group is the content-addressed
+    ``md5(seed:id)`` hex digest (ties broken by id) — an unbiased,
+    engine-reproducible shuffle, same design as :func:`train_split`:
+    re-runs, re-partitions, and the DuckDB oracle all walk the
+    identical order. A document is kept iff it STARTS before the
+    budget line (``cum - tokens < budget``), so the budget is a floor
+    crossed at most once per group; groups with no budget and no
+    ``default_budget`` pass through whole.
+
+    Returns (id, group, tokens, cum_tokens) for kept rows.
+
+    Scale posture: token counting is a scan-local JVM expression; the
+    only exchange is ONE window shuffle on the group key (cumulative
+    sum over the hash order). Same skew story as ``domain_quota`` —
+    the group key is the natural partition column and AQE covers
+    mega-groups.
+    """
+    from pyspark.sql import Window
+
+    from . import textstats as _ts
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("group"),
+        _ts.token_count(text_col).cast("bigint").alias("tokens"),
+        F.md5(
+            F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+        ).alias("_mix_order"),
+    )
+    budget = F.lit(default_budget).cast("bigint")
+    for k, v in budgets.items():
+        budget = F.when(F.col("group") == F.lit(k), F.lit(int(v))).otherwise(
+            budget
+        )
+    w = Window.partitionBy("group").orderBy("_mix_order", id_col)
+    cum = F.sum("tokens").over(w)
+    return (
+        toks.withColumn("cum_tokens", cum)
+        .withColumn("_budget", budget)
+        .filter(
+            F.col("_budget").isNull()
+            | (F.col("cum_tokens") - F.col("tokens") < F.col("_budget"))
+        )
+        .select(id_col, "group", "tokens", "cum_tokens")
+    )
+
+
 def pack_greedy(
     df: DataFrame, budget: int, group_col: str = "lang",
     id_col: str = "doc_id", text_col: str = "text",

@@ -1226,6 +1226,28 @@ def test_domain_quota_and_pack_greedy(spark):
             assert r.bin_tokens == total
             assert total <= 10 or r.bin_tokens == r.tokens  # oversized solo
 
+    # round-6 mix_to_budget: budget floor crossed at most once; zero
+    # budget keeps nothing; unbudgeted groups pass through whole
+    from sparkhtml.spark.sampling import mix_to_budget
+
+    mdf = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * 5)) for i in range(1, 7)]
+        + [(10, "de", "a b c"), (11, "fr", "x y")],
+        ["doc_id", "lang", "text"],
+    )
+    kept = {r.doc_id: (r.tokens, r.cum_tokens)
+            for r in mix_to_budget(mdf, {"en": 12, "de": 0}).collect()}
+    en_kept = [d for d in kept if d <= 6]
+    # 5-token docs against a 12-token budget: docs starting at cum 0, 5,
+    # 10 are kept (each STARTS before the line), the rest cut
+    assert len(en_kept) == 3 and all(kept[d][0] == 5 for d in en_kept)
+    assert sorted(kept[d][1] for d in en_kept) == [5, 10, 15]
+    assert 10 not in kept          # de budget 0 keeps nothing
+    assert kept[11] == (2, 2)      # fr unbudgeted passes through
+    # determinism: identical re-run selects the identical doc set
+    kept2 = {r.doc_id for r in mix_to_budget(mdf, {"en": 12, "de": 0}).collect()}
+    assert kept2 == set(kept)
+
     # ADVICE round-5: a pre-existing rank column must raise, not be
     # silently overwritten
     import pytest as _pytest
