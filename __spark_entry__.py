@@ -757,6 +757,34 @@ def _q_pack_greedy_bucketed(spark, sf_dir):
     )
 
 
+def _q_cluster_survivors(spark, sf_dir):
+    """Quality-aware dedup survivor selection (round 6,
+    `graph.cluster_survivors`): the dedup_clusters components (same
+    deterministic edge list as that query) joined with n_chars as the
+    quality signal; keep the highest-n_chars doc per cluster (id
+    tie-break). The oracle recomputes the transitive closure with a
+    recursive CTE and replays the rank window."""
+    from sparkhtml.spark.graph import cluster_survivors, dedup_clusters
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    edges = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("a"),
+            ((F.col("doc_id") * 2 + 6) % 300).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    clustered = dedup_clusters(docs.select("doc_id"), edges).join(
+        docs, "doc_id"
+    )
+    return cluster_survivors(clustered, "n_chars").select(
+        "doc_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
 def _q_mix_to_budget(spark, sf_dir):
     """Deterministic token-budget corpus mixing (round 6,
     `sampling.mix_to_budget`): keep documents per language in
@@ -1158,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "pack_greedy_bucketed": _q_pack_greedy_bucketed,
         "mix_to_budget": _q_mix_to_budget,
+        "cluster_survivors": _q_cluster_survivors,
         "corpus_stats": _q_corpus_stats,
         "extract_links": _q_extract_links,
         "dedup_clusters": _q_dedup_clusters,
@@ -1555,6 +1584,25 @@ def oracle_sql() -> dict[str, str]:
             "AS cluster, (CASE WHEN coalesce(c.component, d.doc_id) = "
             "d.doc_id THEN 1 ELSE 0 END)::INT AS is_canonical "
             "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"
+        ),
+        "cluster_survivors": (
+            # same transitive closure as dedup_clusters, then keep the
+            # highest-n_chars doc per cluster (doc_id tie-break)
+            "WITH RECURSIVE edges AS (SELECT doc_id AS a, "
+            "(doc_id * 2 + 6) % 300 AS b FROM documents "
+            "WHERE doc_id % 3 = 0 AND doc_id <> (doc_id * 2 + 6) % 300), "
+            "sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges), "
+            "reach(id, r) AS (SELECT a, a FROM sym UNION "
+            "SELECT s.a, t.r FROM sym s JOIN reach t ON t.id = s.b), "
+            "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id), "
+            "clustered AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) "
+            "AS cluster, d.n_chars FROM documents d "
+            "LEFT JOIN comp c ON c.id = d.doc_id), "
+            "ranked AS (SELECT doc_id, cluster, n_chars, row_number() OVER ("
+            "PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk "
+            "FROM clustered) "
+            "SELECT doc_id, cluster::BIGINT AS cluster, "
+            "n_chars::BIGINT AS n_chars FROM ranked WHERE rk = 1"
         ),
         "extract_links": (
             "SELECT doc_id, '/' AS href, 'home' AS anchor_text, "

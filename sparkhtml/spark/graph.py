@@ -104,3 +104,33 @@ def dedup_clusters(
         F.coalesce("component", "id").alias("cluster"),
     )
     return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster"))
+
+
+def cluster_survivors(
+    clustered: DataFrame, quality_col: str, id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Quality-aware survivor selection (round 6): within each dedup
+    cluster keep the HIGHEST-``quality_col`` row (ties broken by
+    ``id_col`` ascending), not the min-id row — ``dedup_clusters``'s
+    ``is_canonical`` is positional, which throws away the best copy of
+    a near-dup family; this is the curation-correct final step of the
+    SCALE.md §5 pipeline (exact dedup → LSH pairs → components → keep
+    best per family).
+
+    Input is ``dedup_clusters`` output joined with any per-doc quality
+    signal; returns the input columns plus ``survivor_rank`` filtered
+    to rank 1. ONE window shuffle on the cluster key; singleton
+    clusters (the overwhelming majority at corpus scale) pass through
+    with rank 1, and AQE skew handling covers boilerplate
+    mega-clusters.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        clustered.withColumn("survivor_rank", F.row_number().over(w))
+        .filter(F.col("survivor_rank") == 1)
+    )

@@ -563,6 +563,17 @@ def test_minhash_pairs_to_clusters_end_to_end(spark):
     assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
     assert out[4] == (4, True)
 
+    # round-6 quality-aware survivor: the HIGHEST-quality doc wins its
+    # cluster (not the min id), ties break by id, singletons pass through
+    from sparkhtml.spark.graph import cluster_survivors
+
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1)], ["doc_id", "q"]
+    )
+    clustered = dedup_clusters(df, pairs).join(quality, "doc_id")
+    surv = {r.doc_id for r in cluster_survivors(clustered, "q").collect()}
+    assert surv == {2, 4}  # 2 beats 3 on the id tie-break; 4 singleton
+
 
 def test_extract_links_and_normalize_url(spark):
     """Anchor extraction off the nodes table (pre-order range join):
