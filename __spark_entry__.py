@@ -1214,6 +1214,57 @@ _DUP_CORPUS = (
 )
 
 
+# Shared normalize → word-split → 3-gram-shingle CTEs (the exact pipeline
+# of sparkhtml.spark.dedup.shingles_col / normalized_text); expects a
+# preceding `corpus(doc_id, text)` CTE.
+_SHINGLE_CTES = (
+    "words AS (SELECT doc_id, list_filter(string_split("
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+    "w -> len(w) > 0) AS ws FROM corpus), "
+    "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 "
+    "THEN [array_to_string(ws, ' ')] "
+    "ELSE [array_to_string(list_slice(ws, i, i+2), ' ') "
+    "FOR i IN range(1, len(ws) - 1)] END AS shingles FROM words)"
+)
+
+
+def _exact_dup_oracle() -> str:
+    """Full exact-dedup oracle: recompute normalization + group-by over
+    the injected-dup corpus in DuckDB. Unlike the pre-round-6 synthetic
+    expectation ("every doc_id%10==0 yields one group of 2"), this also
+    counts NATURAL duplicate texts — sf0.1 has 8 such groups, which the
+    Spark query correctly reported and the old oracle missed (caught by
+    the round-6 sf0.1 robustness run)."""
+    return (
+        "WITH " + _DUP_CORPUS + ", "
+        "norm AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')) AS k FROM corpus) "
+        "SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups "
+        "FROM norm GROUP BY k HAVING count(*) > 1"
+    )
+
+
+def _ngram_jaccard_oracle() -> str:
+    """Full n-gram-Jaccard oracle at threshold 0.999: pairs with
+    IDENTICAL distinct-shingle sets (jaccard exactly 1.0).
+
+    Soundness: for distinct sets, jaccard <= 1 - 1/|union|, so any pair
+    below 1.0 needs |union| >= 1000 to clear 0.999. Testdata docs have
+    <= 100 words => <= 98 shingles => |union| <= 196
+    (tests/test_driver_contract.py pins the bound), so the 0.999 filter
+    admits exactly the identical-set pairs, and identical sets imply
+    identical MinHash signatures => always LSH candidates => never
+    dropped by the banding prune. Replaces the round-<6 synthetic
+    expectation that missed natural duplicate pairs at sf0.1."""
+    return (
+        "WITH " + _DUP_CORPUS + ", " + _SHINGLE_CTES + ", "
+        "sets AS (SELECT doc_id, array_to_string(list_sort("
+        "list_distinct(shingles)), chr(1)) AS key FROM sh) "
+        "SELECT l.doc_id AS a, r.doc_id AS b, 1.0::DOUBLE AS jaccard "
+        "FROM sets l JOIN sets r ON l.key = r.key AND l.doc_id < r.doc_id"
+    )
+
+
 def _minhash_oracle() -> str:
     """Full MinHash+LSH oracle: recompute the md5-mode 32-hash signature
     per doc (normalize → word 3-gram shingles → min over shingles of
@@ -1221,14 +1272,7 @@ def _minhash_oracle() -> str:
     exactly what min_agree=0.99 verification accepts, and banding can
     never drop (equal sigs ⇒ equal band keys)."""
     return (
-        "WITH " + _DUP_CORPUS + ", "
-        "words AS (SELECT doc_id, list_filter(string_split("
-        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
-        "w -> len(w) > 0) AS ws FROM corpus), "
-        "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 "
-        "THEN [array_to_string(ws, ' ')] "
-        "ELSE [array_to_string(list_slice(ws, i, i+2), ' ') "
-        "FOR i IN range(1, len(ws) - 1)] END AS shingles FROM words), "
+        "WITH " + _DUP_CORPUS + ", " + _SHINGLE_CTES + ", "
         "mins AS (SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS h "
         "FROM sh, unnest(shingles) AS t(s), range(32) AS r(k) "
         "GROUP BY doc_id, k), "
@@ -1412,14 +1456,8 @@ def oracle_sql() -> dict[str, str]:
             "1::BIGINT AS n_form, 2::BIGINT AS n_li, "
             "0::BIGINT AS n_misorder FROM documents"
         ),
-        "exact_dup_groups": (
-            "SELECT doc_id AS keep_id, 2::BIGINT AS n_dups FROM documents "
-            "WHERE doc_id % 10 = 0"
-        ),
-        "ngram_jaccard_pairs": (
-            "SELECT doc_id AS a, doc_id + 1000000 AS b, 1.0::DOUBLE AS jaccard "
-            "FROM documents WHERE doc_id % 10 = 0"
-        ),
+        "exact_dup_groups": _exact_dup_oracle(),
+        "ngram_jaccard_pairs": _ngram_jaccard_oracle(),
         "ivf_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.qv), 3) "

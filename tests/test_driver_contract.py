@@ -104,3 +104,31 @@ def test_latest_correctness_rows_all_green():
         or (v.get("hash_match") is False)
     }
     assert not bad, f"non-green correctness rows: {bad}"
+
+
+def test_ngram_jaccard_oracle_shingle_bound():
+    """Soundness bound for the identical-set ngram_jaccard oracle.
+
+    The oracle (``_ngram_jaccard_oracle``) equates "jaccard >= 0.999"
+    with "identical distinct-shingle sets", valid only while every doc
+    pair has |shingle union| < 1000 (distinct sets satisfy
+    jaccard <= 1 - 1/|union|). Pin max per-doc distinct shingles well
+    under 500 at every testdata SF so the union of any pair stays under
+    1000; if testdata ever grows longer docs, this fails before the
+    oracle can go quietly unsound.
+    """
+    import glob as _glob
+
+    import duckdb
+
+    for path in sorted(_glob.glob("/root/testdata/sf*/documents.parquet")):
+        (mx,) = duckdb.sql(
+            "SELECT coalesce(max(len(list_distinct("
+            "CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE [array_to_string(list_slice(ws, i, i+2), ' ') "
+            "FOR i IN range(1, len(ws) - 1)] END))), 0) FROM ("
+            "SELECT list_filter(string_split(trim(regexp_replace("
+            "lower(text), '\\s+', ' ', 'g')), ' '), w -> len(w) > 0) AS ws "
+            f"FROM read_parquet('{path}'))"
+        ).fetchone()
+        assert mx < 500, f"{path}: max distinct shingles {mx} >= 500"
