@@ -757,6 +757,49 @@ def _q_pack_greedy_bucketed(spark, sf_dir):
     )
 
 
+def _q_drop_repeated_spans(spark, sf_dir):
+    """Corpus-frequency boilerplate-span removal (RefinedWeb-style
+    repeated-line dedup at span granularity) over a 3-span interleaved
+    derivation: a shared nav span (df = n_docs, always dropped), the
+    per-doc `<p>` content span (dropped only when the text naturally
+    duplicates — sf0.1 has 8 such groups), and a media span (always
+    kept). Survivors flattened for the oracle."""
+    from sparkhtml.spark.dedup import drop_repeated_spans
+
+    docs = _docs(spark, sf_dir)
+    nav = '<nav><a href="/">home</a></nav>'
+
+    def span(kind, text, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (text if text is not None else F.lit(None).cast("string")).alias(
+                "text"
+            ),
+            (ref if ref is not None else F.lit(None).cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(off).alias("offset"),
+        )
+
+    inp = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            span("text", F.lit(nav), None, 0),
+            span("text", F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")), None, 1),
+            span("media", None, F.concat(F.lit("m-"), F.col("doc_id")), 2),
+        ).alias("spans"),
+    )
+    out = drop_repeated_spans(inp, min_df=2)
+    ex = out.select("doc_id", F.explode("spans").alias("s"))
+    return ex.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("s.kind").alias("kind"),
+        F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+        F.col("s.offset").alias("span_offset"),
+    )
+
+
 def _q_cluster_survivors(spark, sf_dir):
     """Quality-aware dedup survivor selection (round 6,
     `graph.cluster_survivors`): the dedup_clusters components (same
@@ -1187,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy_bucketed": _q_pack_greedy_bucketed,
         "mix_to_budget": _q_mix_to_budget,
         "cluster_survivors": _q_cluster_survivors,
+        "drop_repeated_spans": _q_drop_repeated_spans,
         "corpus_stats": _q_corpus_stats,
         "extract_links": _q_extract_links,
         "dedup_clusters": _q_dedup_clusters,
@@ -1262,6 +1306,35 @@ def _ngram_jaccard_oracle() -> str:
         "list_distinct(shingles)), chr(1)) AS key FROM sh) "
         "SELECT l.doc_id AS a, r.doc_id AS b, 1.0::DOUBLE AS jaccard "
         "FROM sets l JOIN sets r ON l.key = r.key AND l.doc_id < r.doc_id"
+    )
+
+
+def _drop_repeated_spans_oracle() -> str:
+    """Full replay of the 3-span derivation + corpus-frequency drop: build
+    the same spans, count DISTINCT docs per normalized text key, keep
+    text spans with df < 2 and all media spans. The nav span's blocking
+    is COMPUTED (its df = n_docs), not assumed, per the round-6 oracle
+    policy."""
+    return (
+        "WITH spans AS ("
+        "SELECT doc_id, 'text' AS kind, "
+        "'<nav><a href=\"/\">home</a></nav>' AS text, "
+        "NULL AS media_ref, 0 AS span_offset FROM documents "
+        "UNION ALL SELECT doc_id, 'text', '<p>' || text || '</p>', NULL, 1 "
+        "FROM documents "
+        "UNION ALL SELECT doc_id, 'media', NULL, 'm-' || doc_id, 2 "
+        "FROM documents), "
+        "keys AS (SELECT doc_id, span_offset, trim(regexp_replace("
+        "lower(text), '\\s+', ' ', 'g')) AS k FROM spans "
+        "WHERE kind = 'text'), "
+        "dfreq AS (SELECT k, count(DISTINCT doc_id) AS df FROM keys "
+        "GROUP BY k) "
+        "SELECT s.doc_id, s.kind, coalesce(s.text, '') AS text, "
+        "coalesce(s.media_ref, '') AS media_ref, s.span_offset "
+        "FROM spans s "
+        "LEFT JOIN keys USING (doc_id, span_offset) "
+        "LEFT JOIN dfreq USING (k) "
+        "WHERE s.kind <> 'text' OR dfreq.df < 2"
     )
 
 
@@ -1457,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
             "0::BIGINT AS n_misorder FROM documents"
         ),
         "exact_dup_groups": _exact_dup_oracle(),
+        "drop_repeated_spans": _drop_repeated_spans_oracle(),
         "ngram_jaccard_pairs": _ngram_jaccard_oracle(),
         "ivf_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "

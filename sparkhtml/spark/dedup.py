@@ -422,3 +422,99 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------- repeated-span removal
+
+
+def _norm_expr(c):
+    """``normalized_text`` over a Column (lambda-arg friendly)."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def drop_repeated_spans(
+    df: DataFrame,
+    min_df: int = 2,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    how: str = "broadcast",
+    max_blocklist: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal over interleaved documents.
+
+    Drops every ``kind='text'`` span whose normalized text occurs in at
+    least ``min_df`` DISTINCT documents (repeated nav bars, footers,
+    cookie banners — the classic web-pipeline "repeated line removal"
+    pattern, applied at the span granularity of the north-rule table).
+    Media spans always pass through; surviving spans keep their original
+    ``offset`` values and array order; docs whose spans all drop remain
+    as rows with an empty array. Output schema == input schema.
+
+    Beyond-reference training-pipeline op (no HTMLReader analog).
+
+    Scale posture (``how="broadcast"``, default): the frequency count is
+    one explode + hash-aggregate on (key) — the unavoidable global
+    aggregation — but the REASSEMBLY shuffle is avoided entirely: the
+    blocklist (keys with df >= min_df, capped at ``max_blocklist`` most
+    frequent) is collapsed to a single array row and broadcast, and the
+    big table is filtered in place with a higher-order ``filter`` lambda
+    (scan -> BroadcastNestedLoopJoin(1 row) -> project; zero exchanges
+    on the wide side). Boilerplate blocklists are small by nature — keys
+    must clear min_df — so the array fits comfortably in an executor.
+    ``how="shuffle"`` is the unbounded-blocklist fallback: posexplode ->
+    left-anti join on the key -> collect_list reassembly (two wide
+    shuffles; use only when the blocklist genuinely cannot be bounded).
+    """
+    if how not in ("broadcast", "shuffle"):
+        raise ValueError(f"how must be 'broadcast' or 'shuffle', got {how!r}")
+    s = F.col("s")
+    keys = (
+        df.select(F.col(id_col).alias("_id"), F.explode(spans_col).alias("s"))
+        .filter(s["kind"] == "text")
+        .select("_id", _norm_expr(s["text"]).alias("k"))
+        .groupBy("k")
+        .agg(F.count_distinct("_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    if how == "shuffle":
+        ex = df.select(
+            F.col(id_col), F.posexplode(spans_col).alias("_pos", "s")
+        )
+        kept = ex.join(
+            keys.select("k"),
+            _norm_expr(s["text"]).eqNullSafe(F.col("k"))
+            & (s["kind"] == "text"),
+            "left_anti",
+        )
+        packed = kept.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "s"))),
+                lambda x: x["s"],
+            ).alias(spans_col)
+        )
+        # docs whose spans all dropped (or were empty) must survive with []
+        empty = F.array().cast(df.schema[spans_col].dataType)
+        return (
+            df.select(id_col)
+            .join(packed, id_col, "left")
+            .select(
+                id_col, F.coalesce(spans_col, empty).alias(spans_col)
+            )
+        )
+    block = (
+        keys.orderBy(F.col("df").desc(), "k")
+        .limit(max_blocklist)
+        .agg(F.collect_list("k").alias("_block"))
+    )
+    keep = F.filter(
+        F.col(spans_col),
+        lambda x: (x["kind"] != "text")
+        | ~F.coalesce(
+            F.array_contains(F.col("_block"), _norm_expr(x["text"])),
+            F.lit(False),
+        ),
+    )
+    out_cols = [
+        keep.alias(c) if c == spans_col else F.col(c) for c in df.columns
+    ]
+    return df.crossJoin(F.broadcast(block)).select(*out_cols)

@@ -40,7 +40,12 @@ KNOWN_DRIVER_DROPS: dict[str, set[str]] = {
 # entries once a CORRECTNESS file containing them lands; a stale entry
 # here is harmless, a missing one fails the test — which is the point.
 ADDED_SINCE: dict[str, set[str]] = {
-    "CORRECTNESS_r05.json": {"pack_greedy_bucketed", "mix_to_budget", "cluster_survivors"},
+    "CORRECTNESS_r05.json": {
+        "pack_greedy_bucketed",
+        "mix_to_budget",
+        "cluster_survivors",
+        "drop_repeated_spans",
+    },
 }
 
 

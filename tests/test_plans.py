@@ -208,6 +208,24 @@ def test_text_cleanup_has_no_shuffle(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
 
 
+def test_drop_repeated_spans_broadcast_plan(spark):
+    """The default (broadcast) path must not shuffle the wide table: the
+    only exchanges belong to the small blocklist branch (exploded-key
+    aggregate + single-row collect), and the wide side is re-filtered in
+    place via a 1-row BroadcastNestedLoopJoin — no posexplode/collect_list
+    reassembly of the corpus."""
+    import __spark_entry__ as entry
+    from sparkhtml.spark.dedup import drop_repeated_spans
+
+    inp = entry._interleaved(spark, SF)
+    p = plan(drop_repeated_spans(inp, min_df=2))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert p.count("Exchange") <= 3, p  # blocklist branch only
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    # the reassembly pattern of the shuffle fallback must be absent
+    assert "posexplode" not in p.lower(), p
+
+
 def test_cosine_neardup_norms_precomputed(spark):
     """cosine_near_dup_pairs must evaluate the O(dim) norm aggregate once
     per ROW (projected before the bucket self-join), not once per candidate

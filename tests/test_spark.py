@@ -187,6 +187,42 @@ def test_exact_dedup(spark):
     assert kept == [1, 3]
 
 
+def test_drop_repeated_spans(spark):
+    from sparkhtml.spark.dedup import drop_repeated_spans
+
+    rows = [
+        ("d1", [("text", "NAV bar", None, 0), ("text", "unique one", None, 1),
+                ("media", None, "m1", 2)]),
+        ("d2", [("text", "nav  bar ", None, 0), ("text", "unique two", None, 1)]),
+        ("d3", [("text", "Nav bar", None, 0)]),
+        ("d4", []),
+    ]
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {r.doc_id: r.spans for r in drop_repeated_spans(df, min_df=2).collect()}
+    # normalization unifies the three nav variants (df=3 >= 2): dropped
+    assert [s.text for s in out["d1"] if s.kind == "text"] == ["unique one"]
+    # media passes through with its original offset
+    assert [(s.media_ref, s.offset) for s in out["d1"] if s.kind == "media"] == [
+        ("m1", 2)
+    ]
+    assert [s.text for s in out["d2"]] == ["unique two"]
+    # all-dropped and originally-empty docs both survive as empty arrays
+    assert out["d3"] == [] and out["d4"] == []
+    # shuffle fallback path is semantics-identical
+    a = drop_repeated_spans(df, min_df=2).orderBy("doc_id").collect()
+    b = drop_repeated_spans(df, min_df=2, how="shuffle").orderBy("doc_id").collect()
+    assert a == b
+    # min_df above any frequency: identity; min_df=1: only media survive
+    ident = drop_repeated_spans(df, min_df=10).orderBy("doc_id").collect()
+    assert [len(r.spans) for r in ident] == [3, 2, 1, 0]
+    only_media = drop_repeated_spans(df, min_df=1).collect()
+    assert all(s.kind == "media" for r in only_media for s in r.spans)
+
+
 def test_minhash_and_jaccard(spark):
     from sparkhtml.spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
