@@ -67,12 +67,14 @@ def main(argv=None) -> int:
     t0 = time.time()
     run = ChunkedRun(spark, args.output, n_chunks=args.chunks)
     summary = run.run(normal, transform)
-    # stragglers: small cardinality, maximum spread — one doc per task
+    # stragglers: small cardinality, maximum spread — one doc per task.
+    # Plain repartition(n) is ROUND-ROBIN (exactly one per task);
+    # repartition(n, "doc_id") would hash and clump ~ln n / ln ln n docs
+    # into one task (measured 3.4 s -> 1.8 s at 12 giants merely from the
+    # clumping, BENCH/run_skew_experiment.py)
     n_strag = stragglers.count()
     if n_strag:
-        strag_out = extract_spans_df(
-            stragglers.repartition(max(n_strag, 1), "doc_id")
-        )
+        strag_out = extract_spans_df(stragglers.repartition(max(n_strag, 1)))
         strag_out.write.mode("overwrite").parquet(
             args.output.rstrip("/") + "/stragglers"
         )
