@@ -1034,6 +1034,50 @@ def _q_media_features_real(spark, sf_dir):
     )
 
 
+def _q_pdf_extract(spark, sf_dir):
+    """PDF/layout parse (the north rule's extraction tier names it next
+    to the HTML boilerplate strip): deterministically render each
+    document's sanitized text into a PDF — word-per-Tj and TJ-kern lines
+    with NO space glyphs, plus an image XObject for doc_id%3==0 — then
+    extract it back with the from-scratch parser (sparkhtml/spark/pdf.py:
+    xref, content-stream interpreter, layout spacing inference, media
+    placeholders). The DuckDB oracle recomputes the expected text
+    closed-form from documents.text, so any parser/layout defect breaks
+    the value hash."""
+    import re as _re
+
+    import pandas as pd
+
+    from sparkhtml.spark.pdf import build_pdf, pdf_extract_spans, pdf_page_count
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                words = _re.sub(r"[^ -~]", " ", text or "").split()[:24]
+                items: list[tuple] = [("text", " ".join(words[:12]))]
+                if int(i) % 3 == 0:
+                    items.append(("image",))
+                if words[12:]:
+                    items.append(("text", " ".join(words[12:])))
+                blob = build_pdf([items])
+                spans = pdf_extract_spans(blob)
+                extracted = " ".join(
+                    s["text"].replace("\n", " ")
+                    for s in spans if s["kind"] == "text"
+                ).strip()
+                n_media = sum(1 for s in spans if s["kind"] == "media")
+                out.append(
+                    (int(i), pdf_page_count(blob), n_media, extracted))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_pages", "n_media", "extracted"])
+
+    return docs.mapInPandas(
+        gen, "doc_id long, n_pages int, n_media int, extracted string")
+
+
 def _q_size_buckets(spark, sf_dir):
     """Skew layer: log2 size-bucket histogram of the interleaved corpus
     (partitioning.with_size_salt's bucket column; the salt half is
@@ -1217,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
         "media_features_real": _q_media_features_real,
+        "pdf_extract": _q_pdf_extract,
         "pii_scrub": _q_pii_scrub,
         "contamination": _q_contamination,
         "training_filter": _q_training_filter,
@@ -1623,6 +1668,20 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 2 THEN ((13 * doc_id) % 256) / 255.0 "
             "ELSE 0.0 END, 4) AS f2, "
             "0.0::DOUBLE AS f3 FROM documents"
+        ),
+        # Closed-form replay of _q_pdf_extract's render→parse round trip:
+        # the PDF writer emits words[:24] of the sanitized text (first 12
+        # in span 1, the rest in span 2, image XObject between them when
+        # doc_id%3==0), and the layout extractor must reassemble exactly
+        # those words — so the expected value is computable from
+        # documents.text alone without a PDF in sight.
+        "pdf_extract": (
+            "SELECT doc_id, 1 AS n_pages, "
+            "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_media, "
+            "array_to_string(list_slice(list_filter(string_split("
+            "regexp_replace(text, '[^ -~]', ' ', 'g'), ' '), "
+            "w -> w <> ''), 1, 24), ' ') AS extracted "
+            "FROM documents"
         ),
         "pii_scrub": (
             "WITH seeded AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "

@@ -45,6 +45,7 @@ ADDED_SINCE: dict[str, set[str]] = {
         "mix_to_budget",
         "cluster_survivors",
         "drop_repeated_spans",
+        "pdf_extract",
     },
 }
 

@@ -1,0 +1,365 @@
+"""PDF text + layout extraction tests (sparkhtml.spark.pdf).
+
+Correctness rests on three independent legs:
+
+1. writer↔extractor round-trips where the writer deliberately emits NO
+   space glyphs (TJ kern offsets on even lines, per-word Tm positioning
+   on odd lines), so spacing must be *inferred* from advances;
+2. closed-form layout properties (two-column reading order, repeated
+   header/footer removal, media placeholders in content order);
+3. two system PDFs produced by independent toolchains (pdfTeX 1.40.x),
+   exercising cross-reference streams, object streams, and TeX Type1
+   fonts this repo's writer never emits.
+"""
+
+import os
+
+import pytest
+
+from sparkhtml.spark.pdf import (
+    PDF,
+    PDFError,
+    Name,
+    Ref,
+    Stream,
+    _ascii85_decode,
+    _parse_tounicode,
+    _png_unpredict,
+    _runlength_decode,
+    build_pdf,
+    decode_stream,
+    glyph_to_unicode,
+    parse_object,
+    pdf_extract_spans,
+    pdf_extract_text,
+    pdf_metadata,
+    pdf_page_count,
+)
+
+EXTERNAL = [
+    ("/usr/share/doc/libtasn1-doc/libtasn1.pdf",
+     36, ["ASN.1", "libtasn1", "asn1_write_value"]),
+    ("/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf",
+     17, ["Shared MIME-info Database", "freedesktop.org", "magic"]),
+]
+
+
+# ---------------------------------------------------------------------------
+# object parser
+
+
+def test_parse_basic_objects():
+    assert parse_object(b" 42 ", 0)[0] == 42
+    assert parse_object(b"-3.5", 0)[0] == -3.5
+    assert parse_object(b".25", 0)[0] == 0.25
+    assert parse_object(b"true", 0)[0] is True
+    assert parse_object(b"null", 0)[0] is None
+    assert parse_object(b"/Name#20x", 0)[0] == Name("Name x")
+    assert parse_object(b"(lit (nested) \\(esc\\) \\101)", 0)[0] == \
+        b"lit (nested) (esc) A"
+    assert parse_object(b"<48 65 6C6C6F7>", 0)[0] == b"Hellop"  # ws ignored, odd padded
+
+
+def test_parse_ref_vs_ints():
+    obj, _ = parse_object(b"12 0 R", 0)
+    assert obj == Ref(12, 0)
+    # two ints NOT followed by R parse as a single int first
+    obj, i = parse_object(b"12 0 obj", 0)
+    assert obj == 12
+    arr, _ = parse_object(b"[1 2 R 3]", 0)  # "1 2 R" is a ref, then 3
+    assert arr == [Ref(1, 2), 3]
+
+
+def test_parse_dict_nested():
+    d, _ = parse_object(
+        b"<< /A 1 /B [ /X (s) ] /C << /D 2 0 R >> >>", 0)
+    assert d["A"] == 1 and d["B"] == [Name("X"), b"s"]
+    assert d["C"]["D"] == Ref(2, 0)
+
+
+def test_literal_string_line_continuation_and_octal():
+    assert parse_object(b"(a\\\nb)", 0)[0] == b"ab"
+    assert parse_object(b"(\\0053)", 0)[0] == b"\x053"
+
+
+# ---------------------------------------------------------------------------
+# filters
+
+
+def test_png_predictor_up_sub_paeth():
+    # columns=2, 1 byte/px: rows [1,2] then deltas
+    raw = bytes([0, 1, 2,   # none
+                 2, 3, 4,   # up: 4,6
+                 1, 5, 1])  # sub: 5,6
+    out = _png_unpredict(raw, 2, 1, 8)
+    assert list(out) == [1, 2, 4, 6, 5, 6]
+
+
+def test_ascii85_runlength():
+    import zlib
+    assert _ascii85_decode(b"ARTY*~>") == b"easy"
+    assert _ascii85_decode(b"ARTY*+E1n#F*R~>") == b"easy peasy"  # partial group
+    assert _runlength_decode(bytes([2]) + b"abc" + bytes([254]) + b"z"
+                             + bytes([128])) == b"abczzz"
+
+
+def test_decode_stream_filter_chain():
+    import zlib
+    payload = b"hello filter chain"
+    flate = zlib.compress(payload)
+    hexed = flate.hex().encode() + b">"
+    st = Stream({"Filter": [Name("ASCIIHexDecode"), Name("FlateDecode")]},
+                hexed)
+
+    class FakePDF:
+        def resolve(self, o, depth=0):
+            return o
+
+    assert decode_stream(FakePDF(), st) == payload
+
+
+def test_unsupported_filter_raises():
+    st = Stream({"Filter": Name("JBIG2Decode")}, b"x")
+
+    class FakePDF:
+        def resolve(self, o, depth=0):
+            return o
+
+    with pytest.raises(PDFError):
+        decode_stream(FakePDF(), st)
+
+
+# ---------------------------------------------------------------------------
+# fonts
+
+
+def test_glyph_names():
+    assert glyph_to_unicode("comma") == ","
+    assert glyph_to_unicode("quotedblleft") == "“"
+    assert glyph_to_unicode("fi") == "ﬁ"
+    assert glyph_to_unicode("uni0041") == "A"
+    assert glyph_to_unicode("u1F600") == "😀"
+    assert glyph_to_unicode("eacute") == "é"
+    assert glyph_to_unicode("Z") == "Z"
+
+
+def test_tounicode_cmap():
+    cmap = b"""
+    begincmap
+    2 beginbfchar
+    <0041> <0061>
+    <0042> <00660066>
+    endbfchar
+    1 beginbfrange
+    <0050> <0052> <0070>
+    endbfrange
+    1 beginbfrange
+    <0060> <0061> [<007A> <0079>]
+    endbfrange
+    endcmap
+    """
+    m = _parse_tounicode(cmap)
+    assert m[0x41] == "a" and m[0x42] == "ff"
+    assert m[0x50] == "p" and m[0x52] == "r"
+    assert m[0x60] == "z" and m[0x61] == "y"
+
+
+# ---------------------------------------------------------------------------
+# writer ↔ extractor round-trips
+
+
+def test_roundtrip_single_page():
+    text = ("Parsing portable documents demands xref tables objects "
+            "streams and patience beyond mortal reckoning")
+    out = pdf_extract_text(build_pdf([[("text", text)]]))
+    assert out.replace("\n", " ") == text
+
+
+def test_roundtrip_uncompressed():
+    text = "Uncompressed content stream round trip check"
+    out = pdf_extract_text(build_pdf([[("text", text)]], compress=False))
+    assert out.replace("\n", " ") == text
+
+
+def test_roundtrip_multipage_wrapping():
+    paras = [f"Paragraph {i} " + " ".join(f"tok{i}x{j}" for j in range(40))
+             for i in range(6)]
+    pdf = build_pdf([[("text", p)] for p in paras])
+    assert pdf_page_count(pdf) == 6
+    out = pdf_extract_text(pdf).split()
+    exp = " ".join(paras).split()
+    assert out == exp
+
+
+def test_punctuation_and_escapes_roundtrip():
+    text = "Values (alpha) cost $4.50 -- 100% \\ backslash & fin"
+    out = pdf_extract_text(build_pdf([[("text", text)]]))
+    assert out.replace("\n", " ") == text
+
+
+def test_furniture_removed_across_pages():
+    pages = [[("text", f"Body paragraph number {i} with enough words to "
+                       "make a couple of wrapped lines of real content.")]
+             for i in range(5)]
+    pdf = build_pdf(pages, header="Site Manual", footer="draft page")
+    t = pdf_extract_text(pdf)
+    assert "Site Manual" not in t and "draft" not in t
+    for i in range(5):
+        assert f"number {i}" in t
+
+
+def test_furniture_kept_below_three_pages():
+    pages = [[("text", "Body one with words.")],
+             [("text", "Body two with words.")]]
+    pdf = build_pdf(pages, header="Kept Header")
+    assert "Kept Header" in pdf_extract_text(pdf)
+
+
+def test_two_column_reading_order():
+    words = [f"w{i:03d}" for i in range(140)]
+    pdf = build_pdf([[("text", " ".join(words))]], two_column=True)
+    assert pdf_extract_text(pdf).split() == words
+
+
+def test_media_spans_in_content_order():
+    pdf = build_pdf([[
+        ("text", "Before the first figure some prose."),
+        ("image",),
+        ("text", "Between figures more prose lives here."),
+        ("image",),
+        ("text", "After both figures the text ends."),
+    ]])
+    spans = pdf_extract_spans(pdf)
+    assert [s["kind"] for s in spans] == \
+        ["text", "media", "text", "media", "text"]
+    assert spans[0]["text"].startswith("Before")
+    assert spans[2]["text"].startswith("Between")
+    assert spans[4]["text"].startswith("After")
+    assert [s["offset"] for s in spans] == list(range(5))
+    assert all(s["media_ref"] for s in spans if s["kind"] == "media")
+
+
+def test_metadata_and_page_count():
+    pdf = build_pdf([[("text", "one")], [("text", "two")]])
+    assert pdf_page_count(pdf) == 2
+    assert pdf_metadata(pdf)["pages"] == 2
+
+
+# ---------------------------------------------------------------------------
+# hostile inputs → PDFError (the Spark error channel), never hangs
+
+
+@pytest.mark.parametrize("blob", [
+    b"",
+    b"not a pdf",
+    b"%PDF-1.4\ngarbage with no xref",
+    b"%PDF-1.4\nstartxref\n999999\n%%EOF",
+])
+def test_malformed_raises(blob):
+    with pytest.raises(PDFError):
+        pdf_page_count(blob)
+
+
+def test_truncated_real_pdf_raises_not_hangs():
+    pdf = build_pdf([[("text", "will be truncated " * 20)]])
+    for frac in (0.15, 0.5, 0.9):
+        blob = pdf[: int(len(pdf) * frac)]
+        with pytest.raises(PDFError):
+            pdf_page_count(blob)
+
+
+def test_encrypted_rejected():
+    pdf = bytearray(build_pdf([[("text", "secret")]]))
+    # splice /Encrypt into the trailer dict
+    idx = pdf.rfind(b"/Root")
+    pdf[idx:idx] = b"/Encrypt 1 0 R "
+    with pytest.raises(PDFError, match="encrypt"):
+        pdf_page_count(bytes(pdf))
+
+
+def test_reference_cycle_guard():
+    # object that is a reference to itself via the page tree
+    with pytest.raises(PDFError):
+        pdf = PDF(build_pdf([[("text", "x")]]))
+        pdf.resolve(Ref(9999, 0), depth=33)
+
+
+# ---------------------------------------------------------------------------
+# external fixtures: independent toolchains (pdfTeX)
+
+
+@pytest.mark.parametrize("path,pages,marks", EXTERNAL)
+def test_external_pdfs(path, pages, marks):
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    data = open(path, "rb").read()
+    assert pdf_page_count(data) == pages
+    meta = pdf_metadata(data)
+    assert "pdfTeX" in meta.get("producer", "")
+    text = pdf_extract_text(data)
+    assert len(text) > 10000
+    for mark in marks:
+        assert mark in text, f"{mark!r} missing from {path}"
+
+
+def test_external_pdf_spans_structure():
+    path = EXTERNAL[0][0]
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    spans = pdf_extract_spans(open(path, "rb").read())
+    assert all(s["offset"] == i for i, s in enumerate(spans))
+    assert all(
+        (s["kind"] == "text") == (s["media_ref"] is None) for s in spans)
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+
+
+def test_pdf_extract_df_and_error_channel(spark):
+    from sparkhtml.spark.pdf import pdf_extract_df
+
+    rows = []
+    for i in range(12):
+        items = [("text", f"Doc {i} words " +
+                  " ".join(f"t{i}x{j}" for j in range(25)))]
+        if i % 3 == 0:
+            items.append(("image",))
+        rows.append((f"d{i}", bytearray(build_pdf([items]))))
+    rows.append(("bad", bytearray(b"junk")))
+    rows.append(("nul", None))
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    out = {r.doc_id: r for r in pdf_extract_df(df).collect()}
+    assert len(out) == 14
+    assert out["bad"].err and out["nul"].err
+    for i in range(12):
+        r = out[f"d{i}"]
+        assert r.err is None
+        assert r.n_pages == 1
+        assert r.n_media == (1 if i % 3 == 0 else 0)
+        assert f"t{i}x24" in r.text
+
+
+def test_pdf_spans_df_matches_pure(spark):
+    from sparkhtml.spark.pdf import pdf_spans_df
+
+    rows = [(f"d{i}", bytearray(build_pdf([[
+        ("text", f"Alpha {i} beta gamma delta"), ("image",),
+        ("text", f"Tail {i} text"),
+    ]]))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {r.doc_id: [s.asDict() for s in r.spans]
+           for r in pdf_spans_df(df).collect()}
+    for doc_id, blob in rows:
+        exp = pdf_extract_spans(bytes(blob))
+        assert got[doc_id] == exp, doc_id
+
+
+def test_pdf_extract_df_plan_zero_shuffle(spark):
+    from sparkhtml.spark.pdf import pdf_extract_df
+
+    df = spark.createDataFrame(
+        [("d0", bytearray(build_pdf([[("text", "plan check")]])))],
+        "doc_id string, payload binary")
+    plan = pdf_extract_df(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
