@@ -1048,7 +1048,7 @@ def _q_pdf_extract(spark, sf_dir):
 
     import pandas as pd
 
-    from sparkhtml.spark.pdf import build_pdf, pdf_extract_spans, pdf_page_count
+    from sparkhtml.spark.pdf import build_pdf, pdf_doc_spans
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
 
@@ -1063,14 +1063,13 @@ def _q_pdf_extract(spark, sf_dir):
                 if words[12:]:
                     items.append(("text", " ".join(words[12:])))
                 blob = build_pdf([items])
-                spans = pdf_extract_spans(blob)
+                spans, n_pg = pdf_doc_spans(blob)
                 extracted = " ".join(
                     s["text"].replace("\n", " ")
                     for s in spans if s["kind"] == "text"
                 ).strip()
                 n_media = sum(1 for s in spans if s["kind"] == "media")
-                out.append(
-                    (int(i), pdf_page_count(blob), n_media, extracted))
+                out.append((int(i), n_pg, n_media, extracted))
             yield pd.DataFrame(
                 out, columns=["doc_id", "n_pages", "n_media", "extracted"])
 

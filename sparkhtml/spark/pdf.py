@@ -1301,14 +1301,7 @@ def pdf_page_lines(data: bytes) -> list[list[Line]]:
     return _drop_page_furniture(per_page, boxes)
 
 
-def pdf_extract_spans(data: bytes) -> list[dict]:
-    """PDF bytes → interleaved spans [{kind, text, media_ref, offset}].
-
-    Text lines accumulate into one text span per run; an image XObject /
-    inline image flushes the run and emits a ``media`` span, preserving
-    content order — the same span-sequence model as extract.py:247's
-    HTML re-emission, so downstream operators are format-agnostic.
-    """
+def _assemble_spans(pages: list[list[Line]]) -> list[dict]:
     spans: list[dict] = []
     buf: list[str] = []
 
@@ -1318,7 +1311,7 @@ def pdf_extract_spans(data: bytes) -> list[dict]:
                           "media_ref": None, "offset": len(spans)})
             buf.clear()
 
-    for lines in pdf_page_lines(data):
+    for lines in pages:
         for ln in lines:
             if ln.kind == "media":
                 flush()
@@ -1328,6 +1321,28 @@ def pdf_extract_spans(data: bytes) -> list[dict]:
                 buf.append(ln.text)
         flush()  # page boundary ends the text run
     return spans
+
+
+def pdf_extract_spans(data: bytes) -> list[dict]:
+    """PDF bytes → interleaved spans [{kind, text, media_ref, offset}].
+
+    Text lines accumulate into one text span per run; an image XObject /
+    inline image flushes the run and emits a ``media`` span, preserving
+    content order — the same span-sequence model as extract.py:247's
+    HTML re-emission, so downstream operators are format-agnostic.
+    """
+    return _assemble_spans(pdf_page_lines(data))
+
+
+def pdf_doc_spans(data: bytes) -> tuple[list[dict], int]:
+    """Single-parse ``(interleaved spans, page count)``.
+
+    The unit of work of the Spark ingest operator
+    (:func:`sparkhtml.spark.pipeline.pdf_to_spans_df`) — one xref load
+    and one content-stream interpretation serve both outputs.
+    """
+    pages = pdf_page_lines(data)
+    return _assemble_spans(pages), len(pages)
 
 
 def pdf_extract_text(data: bytes) -> str:
@@ -1567,12 +1582,11 @@ def pdf_extract_df(df, payload_col: str = "payload", id_col: str = "doc_id"):
                 try:
                     if blob is None:
                         raise PDFError("null payload")
-                    spans = pdf_extract_spans(bytes(blob))
+                    spans, n_pg = pdf_doc_spans(bytes(blob))
                     text = "\n".join(
                         s["text"] for s in spans if s["kind"] == "text")
                     n_med = sum(1 for s in spans if s["kind"] == "media")
-                    pdfobj = PDF(bytes(blob))
-                    pages.append(len(pdfobj.pages()))
+                    pages.append(n_pg)
                     media.append(n_med)
                     chars.append(len(text))
                     texts.append(text)
