@@ -35,6 +35,7 @@ def main() -> None:
     from sparkhtml.spark import links as _links
     from sparkhtml.spark import textstats as _textstats
     from sparkhtml.spark.dedup import minhash_lsh_pairs
+    from sparkhtml.spark.pdf import pdf_extract_df
     from sparkhtml.spark.similarity import cosine_topk_vs
     from sparkhtml.spark.textstats import quality_features
 
@@ -74,6 +75,33 @@ def main() -> None:
     def noop_write(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # q9 input: deterministic PDF blobs rendered ONCE outside timing (the
+    # writer is test scaffolding; the operator under measure is the
+    # parse+layout side). ~120 words/doc wrapped over real lines, image
+    # XObject every 3rd doc.
+    def _render_pdfs(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from sparkhtml.spark.pdf import build_pdf
+
+        for b in batches:
+            out = []
+            for i, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
+                words = _re.sub(r"[^ -~]", " ", text or "").split()[:120]
+                items = [("text", " ".join(words[:60]))]
+                if int(i) % 3 == 0:
+                    items.append(("image",))
+                if words[60:]:
+                    items.append(("text", " ".join(words[60:])))
+                out.append((str(i), bytearray(build_pdf([items]))))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    pdf_blobs = docs.select("doc_id", "text").mapInPandas(
+        _render_pdfs, "doc_id string, payload binary").cache()
+    pdf_blobs.count()
+
     queries = {
         # q1: the north-rule pipeline — parse+classify+re-emit every span
         "q1_extract_spans": lambda: noop_write(extract_spans_df(interleaved)),
@@ -96,6 +124,9 @@ def main() -> None:
         ),
         # q8: zero-shuffle corpus hygiene pass
         "q8_text_cleanup": lambda: noop_write(_textstats.text_cleanup(docs)),
+        # q9 (ADDED round 6): PDF tier — parse + layout + span assembly
+        # over pre-rendered blobs. Additive; q1-q8 call sites untouched.
+        "q9_pdf_extract": lambda: noop_write(pdf_extract_df(pdf_blobs)),
     }
 
     # INTERLEAVED best-of-N (VERDICT r2 "wrong" #4): round-robin the whole
