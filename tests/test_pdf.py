@@ -363,3 +363,79 @@ def test_pdf_extract_df_plan_zero_shuffle(spark):
         "doc_id string, payload binary")
     plan = pdf_extract_df(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mutation_fuzz_error_channel_never_hangs():
+    """Bit-flipped / truncated / spliced valid PDFs must either parse or
+    raise — the per-row error channel contract at 10^12 rows. Deterministic
+    seed; catches parser states that loop or wander outside the buffer."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    base = build_pdf([[
+        ("text", "mutation fuzz corpus " + " ".join(f"w{i}" for i in range(40))),
+        ("image",),
+        ("text", "second paragraph for objstm coverage"),
+    ]])
+    n_parsed = n_rejected = 0
+    for trial in range(400):
+        blob = bytearray(base)
+        kind = trial % 3
+        if kind == 0:  # bit flips
+            for _ in range(rng.randrange(1, 8)):
+                pos = rng.randrange(len(blob))
+                blob[pos] ^= 1 << rng.randrange(8)
+        elif kind == 1:  # truncate
+            blob = blob[: rng.randrange(1, len(blob))]
+        else:  # splice random bytes at a random offset
+            pos = rng.randrange(len(blob))
+            blob[pos:pos] = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+        try:
+            spans, n_pages = __import__(
+                "sparkhtml.spark.pdf", fromlist=["pdf_doc_spans"]
+            ).pdf_doc_spans(bytes(blob))
+            assert isinstance(spans, list) and n_pages >= 1
+            n_parsed += 1
+        except Exception:  # any raise is fine — the error channel catches it
+            n_rejected += 1
+    # both outcomes must actually occur, or the fuzz isn't exercising anything
+    assert n_parsed > 10 and n_rejected > 10, (n_parsed, n_rejected)
+
+
+def test_pdf_spans_feed_downstream_pipeline(spark):
+    """Format-agnosticism end-to-end: pdf_spans_df output IS the
+    documents_interleaved schema, so the HTML pipeline's main-content
+    stage and span-level curation run unchanged on a PDF corpus."""
+    from pyspark.sql import functions as F
+
+    from sparkhtml.spark.pdf import pdf_spans_df
+    from sparkhtml.spark.pipeline import extract_spans_df
+    from sparkhtml.spark import schemas
+
+    rows = [(f"d{i}", bytearray(build_pdf([[
+        ("text", f"Document {i} body " + " ".join(f"tok{i}x{j}" for j in range(30))),
+        ("image",),
+    ]]))) for i in range(8)]
+    rows.append(("bad", bytearray(b"%PDF-1.4 not really")))
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+
+    interleaved = pdf_spans_df(df).select("doc_id", "spans")
+    # simpleString: same names+types; nullability legitimately differs
+    # (ingest output is nullable until the err-row filter).
+    assert (interleaved.schema.simpleString()
+            == schemas.DOCUMENTS_INTERLEAVED.simpleString())
+
+    out = {r.doc_id: r for r in extract_spans_df(interleaved).collect()}
+    assert len(out) == 9
+    assert out["bad"].spans == []  # error row flowed through as empty doc
+    for i in range(8):
+        spans = out[f"d{i}"].spans
+        kinds = [s.kind for s in spans]
+        assert "media" in kinds  # placeholder survived the classifier
+        assert any(s.kind == "text" and f"tok{i}x29" in s.text for s in spans)
+
+    n_media = (
+        interleaved.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media").count()
+    )
+    assert n_media == 8
