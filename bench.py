@@ -98,7 +98,11 @@ def main() -> None:
                 out.append((str(i), bytearray(build_pdf([items]))))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
-    pdf_blobs = docs.select("doc_id", "text").mapInPandas(
+    # repartition(cpus): the docs scan is 1 row group → 1 split (the
+    # SCALE.md §2 pitfall); at ~2-4 ms/doc PDF parse is compute-heavy
+    # enough that task parallelism wins 10x (A/B: 11.1 s @1 part,
+    # 1.07 s @32, 2.1 s @128 — per-task overhead dominates past ~cpus).
+    pdf_blobs = docs.select("doc_id", "text").repartition(cpus).mapInPandas(
         _render_pdfs, "doc_id string, payload binary").cache()
     pdf_blobs.count()
 
