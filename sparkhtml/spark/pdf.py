@@ -84,18 +84,12 @@ class Stream:
 # object lexer / parser
 
 
+_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+
+
 def _skip_ws(data: bytes, i: int) -> int:
-    n = len(data)
-    while i < n:
-        c = data[i]
-        if c in WS:
-            i += 1
-        elif c == 0x25:  # % comment
-            while i < n and data[i] not in (0x0A, 0x0D):
-                i += 1
-        else:
-            break
-    return i
+    m = _WS_RE.match(data, i)
+    return m.end() if m else i
 
 
 def _parse_name(data: bytes, i: int):
@@ -777,7 +771,7 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
 
 class Font:
     __slots__ = ("two_byte", "to_unicode", "enc_map", "widths",
-                 "default_width", "space_code", "name")
+                 "default_width", "space_code", "name", "_trans", "_warr")
 
     def __init__(self):
         self.two_byte = False
@@ -787,6 +781,17 @@ class Font:
         self.default_width = 500.0
         self.space_code = 32
         self.name = ""
+        self._trans = None  # lazy 256-entry tables for the 1-byte hot path
+        self._warr = None
+
+    def tables(self):
+        """(str.translate map, width list) over all 256 single-byte codes —
+        lets ``show`` replace per-glyph dict probes with one decode +
+        translate and an array-indexed width sum."""
+        if self._trans is None:
+            self._trans = {c: self.char(c) for c in range(256)}
+            self._warr = [self.width(c) for c in range(256)]
+        return self._trans, self._warr
 
     def char(self, code: int) -> str:
         if code in self.to_unicode:
@@ -938,32 +943,77 @@ class Frag:
 _OP_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 
 
+# One-pass content-stream scanner: a single alternation visits each byte
+# once (vs the generic object parser's per-token _skip_ws + dispatch).
+# Branch order matters — numbers before generic operators.
+_CTOK_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+"
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb"|(?P<delim>[()<>{}\[\]])"
+)
+
+
 def _content_tokens(data: bytes):
-    """Yield (kind, value): ('obj', o) for operands, ('op', bytes) for ops."""
+    """Yield ((kind, value), pos): ('obj', o) for operands, ('op', b) ops.
+
+    Arrays (TJ) are assembled inline via a stack; dicts (inline-image BI
+    parameters) and strings fall back to the generic parsers. No indirect
+    references exist inside content streams (ISO 32000-1 §7.8.2), so all
+    numbers are plain floats.
+    """
     i = 0
     n = len(data)
-    while True:
-        i = _skip_ws(data, i)
-        if i >= n:
-            return
-        c = data[i]
-        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or \
-                c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:
-            try:
-                obj, i = parse_object(data, i)
-            except PDFError:
-                i += 1
-                continue
-            yield ("obj", obj), i
-        elif c in (0x5D, 0x3E, 0x29, 0x7B, 0x7D):
-            i += 1  # stray delimiter — skip
-        else:
-            m = _OP_RE.match(data, i)
-            if not m:
-                i += 1
-                continue
-            i = m.end()
+    stack: list[list] = []
+    while i < n:
+        m = _CTOK_RE.match(data, i)
+        if m is None:
+            i += 1
+            continue
+        i = m.end()
+        kind = m.lastgroup
+        if kind is None:
+            continue  # whitespace / comment
+        if kind == "op":
+            if stack:
+                stack.clear()  # op inside an unterminated array: recover
             yield ("op", m.group()), i
+            continue
+        obj = None
+        if kind == "num":
+            obj = float(m.group())
+        elif kind == "name":
+            tok = m.group()
+            if b"#" in tok:
+                obj, _ = _parse_name(tok, 0)
+            else:
+                obj = Name(tok[1:].decode("latin-1"))
+        else:  # delimiter
+            c = m.group()
+            try:
+                if c == b"[":
+                    stack.append([])
+                    continue
+                if c == b"]":
+                    if not stack:
+                        continue  # stray
+                    obj = stack.pop()
+                elif c == b"(":
+                    obj, i = _parse_literal_string(data, m.start())
+                elif c == b"<":
+                    if data.startswith(b"<<", m.start()):
+                        obj, i = parse_object(data, m.start())
+                    else:
+                        obj, i = _parse_hex_string(data, m.start())
+                else:
+                    continue  # stray ) > { }
+            except PDFError:
+                continue
+        if stack:
+            stack[-1].append(obj)
+        else:
+            yield ("obj", obj), i
 
 
 def _find_inline_image_end(data: bytes, i: int) -> int:
@@ -1015,17 +1065,26 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
             return
         m = mat_mul(tm, ctm)
         x0, y0 = mat_apply(m, 0.0, ts)
-        chars: list[str] = []
-        tx = 0.0
-        for code in font.iter_codes(raw):
-            ch = font.char(code)
-            chars.append(ch)
-            adv = font.width(code) / 1000.0 * tfs + tc
-            if not font.two_byte and code == 32:
-                adv += tw
-            tx += adv * tz / 100.0
+        if not font.two_byte:
+            # aggregate 1-byte path: only the TOTAL advance positions the
+            # fragment, so the per-glyph sum collapses to one width sum +
+            # count terms, and decoding is one translate over latin-1
+            trans, warr = font.tables()
+            sum_w = 0.0
+            for code in raw:
+                sum_w += warr[code]
+            tx = (sum_w / 1000.0 * tfs + len(raw) * tc
+                  + raw.count(32) * tw) * tz / 100.0
+            text = raw.decode("latin-1").translate(trans)
+        else:
+            chars: list[str] = []
+            tx = 0.0
+            for code in font.iter_codes(raw):
+                chars.append(font.char(code))
+                adv = font.width(code) / 1000.0 * tfs + tc
+                tx += adv * tz / 100.0
+            text = "".join(chars)
         x1, _ = mat_apply(m, tx, ts)
-        text = "".join(chars)
         if text.strip("� "):
             frags.append(Frag("text", x0, y0, x1, dev_size(m), text))
         elif text:
