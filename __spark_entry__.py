@@ -1077,6 +1077,42 @@ def _q_pdf_extract(spark, sf_dir):
         gen, "doc_id long, n_pages int, n_media int, extracted string")
 
 
+def _q_pdf_layout(spark, sf_dir):
+    """PDF LAYOUT oracle: three-page two-column render with a repeated
+    header and a page-numbered footer — the extractor must drop the
+    page furniture (digit-masked repeat detection across pages), keep
+    column reading order, and reassemble exactly words[:36] of the
+    sanitized text. Complements pdf_extract (single page, media spans):
+    here the layout-analysis layer itself is under the value hash."""
+    import re as _re
+
+    import pandas as pd
+
+    from sparkhtml.spark.pdf import build_pdf, pdf_doc_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                words = _re.sub(r"[^ -~]", " ", text or "").split()[:36]
+                pages = [[("text", " ".join(words[j * 12:(j + 1) * 12]))]
+                         for j in range(3)]
+                blob = build_pdf(pages, two_column=True,
+                                 header="CONFIDENTIAL DRAFT", footer="Page")
+                spans, n_pg = pdf_doc_spans(blob)
+                extracted = " ".join(
+                    s["text"].replace("\n", " ")
+                    for s in spans if s["kind"] == "text"
+                ).strip()
+                out.append((int(i), n_pg, extracted))
+            yield pd.DataFrame(out, columns=["doc_id", "n_pages", "extracted"])
+
+    return docs.mapInPandas(
+        gen, "doc_id long, n_pages int, extracted string")
+
+
 def _q_size_buckets(spark, sf_dir):
     """Skew layer: log2 size-bucket histogram of the interleaved corpus
     (partitioning.with_size_salt's bucket column; the salt half is
@@ -1261,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_features_real": _q_media_features_real,
         "pdf_extract": _q_pdf_extract,
+        "pdf_layout": _q_pdf_layout,
         "pii_scrub": _q_pii_scrub,
         "contamination": _q_contamination,
         "training_filter": _q_training_filter,
@@ -1680,6 +1717,17 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(list_slice(list_filter(string_split("
             "regexp_replace(text, '[^ -~]', ' ', 'g'), ' '), "
             "w -> w <> ''), 1, 24), ' ') AS extracted "
+            "FROM documents"
+        ),
+        # pdf_layout: the furniture (header + page-numbered footer) and
+        # the two-column flow must leave EXACTLY words[:36] — computable
+        # closed-form, so any layout defect (kept furniture, column
+        # misorder, lost wrap line) breaks the hash.
+        "pdf_layout": (
+            "SELECT doc_id, 3 AS n_pages, "
+            "array_to_string(list_slice(list_filter(string_split("
+            "regexp_replace(text, '[^ -~]', ' ', 'g'), ' '), "
+            "w -> w <> ''), 1, 36), ' ') AS extracted "
             "FROM documents"
         ),
         "pii_scrub": (

@@ -46,6 +46,7 @@ ADDED_SINCE: dict[str, set[str]] = {
         "cluster_survivors",
         "drop_repeated_spans",
         "pdf_extract",
+        "pdf_layout",
     },
 }
 
