@@ -56,6 +56,15 @@ def main(argv=None) -> int:
     else:
         docs = spark.read.parquet(args.input)
 
+    # format-agnostic ingest: a (doc_id, payload binary) corpus is a PDF
+    # table — parse it into the SAME interleaved spans schema first, so
+    # the rest of the job (salting, extraction, checkpointing, lineage)
+    # is identical for HTML-span and PDF inputs
+    if "payload" in docs.columns and "spans" not in docs.columns:
+        from sparkhtml.spark.pdf import pdf_spans_df
+
+        docs = pdf_spans_df(docs).select("doc_id", "spans")
+
     partitions = args.partitions or spark.sparkContext.defaultParallelism * 2
     normal, stragglers = straggler_split(docs, args.straggler_chars)
 
