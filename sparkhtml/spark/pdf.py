@@ -21,7 +21,10 @@ string concatenation — happens on device-space glyph fragments:
 * two-column reading-order detection (gutter search with a crossing
   penalty), left column before right,
 * repeated header/footer ("page furniture") removal across pages with
-  digit masking so page numbers don't defeat the repeat detection.
+  digit masking so page numbers don't defeat the repeat detection,
+* /Rotate handling (scanner-style sideways pages): the inverse display
+  rotation is baked into the initial CTM, so fragments land in reader
+  space and all of the above works unchanged.
 
 Font decoding: ToUnicode CMaps (bfchar/bfrange), simple-font
 /Encoding + /Differences via an Adobe-glyph-list subset, WinAnsi /
@@ -1340,6 +1343,32 @@ def _drop_page_furniture(
 # public API
 
 
+def _page_view(pdf: PDF, page: dict):
+    """(initial ctm, reader-space y-range) honouring /Rotate.
+
+    /Rotate turns the page for DISPLAY (ISO 32000-1 §14.8.4.2 treats the
+    displayed orientation as reading order); baking the inverse rotation
+    into the initial CTM puts fragments straight into reader space, so
+    line clustering / column order / furniture bands work unchanged.
+    """
+    mb = pdf.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+    try:
+        x0, y0, x1, y1 = (float(pdf.resolve(v)) for v in mb[:4])
+    except (TypeError, ValueError):
+        x0, y0, x1, y1 = 0.0, 0.0, 612.0, 792.0
+    try:
+        rot = int(pdf.resolve(page.get("Rotate")) or 0) % 360
+    except (TypeError, ValueError):
+        rot = 0
+    if rot == 90:    # display = page turned clockwise
+        return (0.0, -1.0, 1.0, 0.0, -y0, x1), (0.0, x1 - x0)
+    if rot == 180:
+        return (-1.0, 0.0, 0.0, -1.0, x1, y1), (0.0, y1 - y0)
+    if rot == 270:
+        return (0.0, 1.0, -1.0, 0.0, y1, -x0), (0.0, x1 - x0)
+    return IDENTITY, (y0, y1)
+
+
 def pdf_page_lines(data: bytes) -> list[list[Line]]:
     pdf = PDF(data)
     pages = pdf.pages()
@@ -1350,13 +1379,10 @@ def pdf_page_lines(data: bytes) -> list[list[Line]]:
     per_page = []
     boxes = []
     for page in pages:
-        frags = interpret_page(pdf, page)
+        ctm0, ybounds = _page_view(pdf, page)
+        frags = interpret_page(pdf, page, _ctm=ctm0)
         per_page.append(_order_columns(_frags_to_lines(frags)))
-        mb = pdf.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
-        try:
-            boxes.append((float(pdf.resolve(mb[1])), float(pdf.resolve(mb[3]))))
-        except (TypeError, ValueError, IndexError):
-            boxes.append((0.0, 792.0))
+        boxes.append(ybounds)
     return _drop_page_furniture(per_page, boxes)
 
 
@@ -1478,7 +1504,8 @@ def _wrap_words(words: list[str], width_pts: float, size: float) -> list[list[st
 def build_pdf(pages: list[list[tuple]], *, header: str | None = None,
               footer: str | None = None, two_column: bool = False,
               compress: bool = True, font_size: float = 10.0,
-              page_size: tuple = (612, 792), margin: float = 54.0) -> bytes:
+              page_size: tuple = (612, 792), margin: float = 54.0,
+              rotate: int = 0) -> bytes:
     """Deterministic PDF writer for tests.
 
     ``pages`` is a list of pages; each page is a list of items:
@@ -1487,8 +1514,28 @@ def build_pdf(pages: list[list[tuple]], *, header: str | None = None,
     -278/1000 em kern offsets between words; odd lines position every
     word with its own Tm — both force the extractor to *infer* spacing
     from advances, which is the layout property under test.
+
+    ``rotate`` ∈ {0, 90, 180, 270} stores the content pre-rotated in
+    user space with a matching /Rotate page entry (how scanners emit
+    sideways pages) — the DISPLAYED text is identical, so extraction
+    must return the same spans as the unrotated document.
     """
     pw, ph = page_size
+    rotate %= 360
+    if rotate not in (0, 90, 180, 270):
+        raise ValueError("rotate must be a multiple of 90")
+    if rotate in (90, 270):
+        media_box = (ph, pw)  # unrotated sheet is the displayed one turned
+    else:
+        media_box = (pw, ph)
+    rot_cm = {
+        0: None,
+        # R = D^-1 for pdf_page_lines._page_view's display mapping: lay
+        # content out in display coords, store it rotated back
+        90: f"0 1 -1 0 {ph:g} 0 cm",
+        180: f"-1 0 0 -1 {pw:g} {ph:g} cm",
+        270: f"0 -1 1 0 0 {pw:g} cm",
+    }[rotate]
     objects: list[bytes] = []  # 1-based implicit numbering
 
     def add(obj: bytes) -> int:
@@ -1513,7 +1560,10 @@ def build_pdf(pages: list[list[tuple]], *, header: str | None = None,
     space_w = HELV_WIDTHS[0]  # 278
 
     for pno, items in enumerate(pages):
-        ops: list[str] = ["BT", f"/F1 {font_size:g} Tf"]
+        ops: list[str] = []
+        if rot_cm:
+            ops.append(rot_cm)
+        ops += ["BT", f"/F1 {font_size:g} Tf"]
         if header:
             hx = margin
             ops.append(f"1 0 0 1 {hx:g} {ph - 28:g} Tm")
@@ -1582,10 +1632,13 @@ def build_pdf(pages: list[list[tuple]], *, header: str | None = None,
             extra = b" /Filter /FlateDecode"
         cnum = add(b"<< /Length " + str(len(content)).encode() + extra
                    + b" >>\nstream\n" + content + b"\nendstream")
+        rot_entry = f" /Rotate {rotate}".encode() if rotate else b""
         pnum = add(
             b"<< /Type /Page /Parent " + str(pages_tree_num).encode()
-            + b" 0 R /MediaBox [0 0 " + f"{pw:g} {ph:g}".encode()
-            + b"] /Resources << /Font << /F1 " + str(font_num).encode()
+            + b" 0 R /MediaBox [0 0 "
+            + f"{media_box[0]:g} {media_box[1]:g}".encode()
+            + b"]" + rot_entry
+            + b" /Resources << /Font << /F1 " + str(font_num).encode()
             + b" 0 R >> /XObject << /Im1 " + str(img_num).encode()
             + b" 0 R >> >> /Contents " + str(cnum).encode() + b" 0 R >>")
         page_nums.append(pnum)

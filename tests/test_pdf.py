@@ -439,3 +439,30 @@ def test_pdf_spans_feed_downstream_pipeline(spark):
         .where(F.col("s.kind") == "media").count()
     )
     assert n_media == 8
+
+
+@pytest.mark.parametrize("rot", [90, 180, 270])
+def test_rotated_pages_extract_identically(rot):
+    """/Rotate pages (scanner-style: content stored sideways in user
+    space, page entry turns it for display) must extract the same spans
+    as the unrotated document — reader-space mapping in _page_view."""
+    items = [[("text", "alpha beta " + " ".join(f"w{i}" for i in range(30))),
+              ("image",), ("text", "tail words here")]]
+    assert (pdf_extract_spans(build_pdf(items, rotate=rot))
+            == pdf_extract_spans(build_pdf(items)))
+
+
+def test_rotated_two_column_furniture():
+    pages3 = [[("text", f"page {chr(65 + j)} body words for furniture")]
+              for j in range(3)]
+    kw = dict(two_column=True, header="HDR X", footer="Pg")
+    assert (pdf_extract_text(build_pdf(pages3, rotate=90, **kw))
+            == pdf_extract_text(build_pdf(pages3, **kw)))
+
+
+def test_rotate_360_and_invalid():
+    items = [[("text", "plain words")]]
+    assert (pdf_extract_spans(build_pdf(items, rotate=360))
+            == pdf_extract_spans(build_pdf(items)))
+    with pytest.raises(ValueError):
+        build_pdf(items, rotate=45)
