@@ -350,6 +350,48 @@ def _runlength_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4): variable 9-12 bit codes,
+    MSB-first, clear=256, EOD=257; ``early`` is /EarlyChange (default 1:
+    the code width bumps one code early, as TIFF does)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise PDFError("LZW: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and code < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PDFError("LZW: code out of range")
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def decode_stream(pdf: "PDF", st: Stream) -> bytes:
     d = st.dict
     filt = pdf.resolve(d.get("Filter"))
@@ -381,6 +423,14 @@ def decode_stream(pdf: "PDF", st: Stream) -> bytes:
             data = _ascii85_decode(data)
         elif f in ("RunLengthDecode", "RL"):
             data = _runlength_decode(data)
+        elif f in ("LZWDecode", "LZW"):
+            early = 1
+            if isinstance(p, dict):
+                try:
+                    early = int(pdf.resolve(p.get("EarlyChange", 1)))
+                except (TypeError, ValueError):
+                    early = 1
+            data = _lzw_decode(data, early)
         else:
             raise PDFError(f"unsupported stream filter {f}")
         pred = pdf.resolve(p.get("Predictor", 1)) if isinstance(p, dict) else 1

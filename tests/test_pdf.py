@@ -466,3 +466,77 @@ def test_rotate_360_and_invalid():
             == pdf_extract_spans(build_pdf(items)))
     with pytest.raises(ValueError):
         build_pdf(items, rotate=45)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal LZW encoder (test-only, independent of the decoder): emits
+    clear-at-start, EOD, width bumps mirrored on /EarlyChange, and a
+    clear+reset when the 12-bit table fills."""
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            bits.append((acc >> nbits) & 0xFF)
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code, width = 258, 9
+    emit(256, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early - 1 >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(256, width)
+                table, next_code, width = fresh(), 258, 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        bits.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(bits)
+
+
+def test_lzw_roundtrip_boundaries():
+    import random
+
+    from sparkhtml.spark.pdf import _lzw_decode
+
+    rng = random.Random(42)
+    cases = [b"", b"A", b"-----A---B-----A---B",
+             bytes(rng.randrange(256) for _ in range(8000)),   # 9->12 bits
+             b"abcd" * 3000,
+             bytes(rng.randrange(256) for _ in range(30000))]  # table-full clear
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+
+def test_lzw_in_decode_stream():
+    payload = b"LZW filtered content stream BT (x) Tj ET " * 20
+
+    class FakePDF:
+        def resolve(self, o, depth=0):
+            return o
+
+    st = Stream({"Filter": Name("LZWDecode")}, _lzw_encode(payload))
+    assert decode_stream(FakePDF(), st) == payload
+    st0 = Stream({"Filter": Name("LZWDecode"),
+                  "DecodeParms": {"EarlyChange": 0}},
+                 _lzw_encode(payload, early=0))
+    assert decode_stream(FakePDF(), st0) == payload
