@@ -1113,6 +1113,39 @@ def _q_pdf_layout(spark, sf_dir):
         gen, "doc_id long, n_pages int, extracted string")
 
 
+def _q_pdf_links(spark, sf_dir):
+    """PDF link-annotation extraction (the PDF analogue of
+    extract_links): render /Annots /Link /URI entries — one per doc for
+    doc_id%2==0 plus a second on a later page for doc_id%10==0 — and
+    read them back via sparkhtml.spark.pdf.pdf_links. The oracle
+    reconstructs the URI list closed-form from doc_id alone."""
+    import pandas as pd
+
+    from sparkhtml.spark.pdf import build_pdf, pdf_links
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"].tolist():
+                i = int(i)
+                pages = [[("text", f"doc {i} page one")],
+                         [("text", f"doc {i} page two")]]
+                if i % 2 == 0:
+                    pages[0].append(("link", f"https://ex.org/{i}/a"))
+                if i % 10 == 0:
+                    pages[1].append(("link", f"https://ex.org/{i}/b"))
+                links = pdf_links(build_pdf(pages))
+                out.append((
+                    i, len(links),
+                    ",".join(f"{l['page']}:{l['uri']}" for l in links),
+                ))
+            yield pd.DataFrame(out, columns=["doc_id", "n_links", "links"])
+
+    return docs.mapInPandas(gen, "doc_id long, n_links int, links string")
+
+
 def _q_size_buckets(spark, sf_dir):
     """Skew layer: log2 size-bucket histogram of the interleaved corpus
     (partitioning.with_size_salt's bucket column; the salt half is
@@ -1298,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_real": _q_media_features_real,
         "pdf_extract": _q_pdf_extract,
         "pdf_layout": _q_pdf_layout,
+        "pdf_links": _q_pdf_links,
         "pii_scrub": _q_pii_scrub,
         "contamination": _q_contamination,
         "training_filter": _q_training_filter,
@@ -1728,6 +1762,19 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(list_slice(list_filter(string_split("
             "regexp_replace(text, '[^ -~]', ' ', 'g'), ' '), "
             "w -> w <> ''), 1, 36), ' ') AS extracted "
+            "FROM documents"
+        ),
+        # pdf_links: /Annots round trip must surface exactly the URIs the
+        # writer planted, in page order — reconstructable from doc_id.
+        "pdf_links": (
+            "SELECT doc_id, "
+            "(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END "
+            " + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS n_links, "
+            "concat_ws(',', "
+            "CASE WHEN doc_id % 2 = 0 "
+            "THEN '0:https://ex.org/' || doc_id || '/a' END, "
+            "CASE WHEN doc_id % 10 = 0 "
+            "THEN '1:https://ex.org/' || doc_id || '/b' END) AS links "
             "FROM documents"
         ),
         "pii_scrub": (

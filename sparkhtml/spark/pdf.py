@@ -1490,6 +1490,34 @@ def pdf_page_count(data: bytes) -> int:
     return len(PDF(data).pages())
 
 
+def pdf_links(data: bytes) -> list[dict]:
+    """URI link annotations in page order: [{page, uri}, ...].
+
+    The PDF analogue of the HTML tier's anchor extraction
+    (spark/links.py): /Annots → /Subtype /Link → /A /S /URI. Internal
+    GoTo destinations carry no URL and are skipped.
+    """
+    pdf = PDF(data)
+    out: list[dict] = []
+    for pno, page in enumerate(pdf.pages()):
+        annots = pdf.resolve(page.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        for a in annots:
+            a = pdf.resolve(a)
+            if not isinstance(a, dict) or str(a.get("Subtype")) != "Link":
+                continue
+            action = pdf.resolve(a.get("A"))
+            if not isinstance(action, dict) or str(action.get("S")) != "URI":
+                continue
+            uri = pdf.resolve(action.get("URI"))
+            if isinstance(uri, bytes):
+                uri = uri.decode("latin-1", "replace")
+            if isinstance(uri, str) and uri:
+                out.append({"page": pno, "uri": uri})
+    return out
+
+
 def pdf_metadata(data: bytes) -> dict:
     pdf = PDF(data)
     info = pdf.info()
@@ -1605,7 +1633,8 @@ def build_pdf(pages: list[list[tuple]], *, header: str | None = None,
         + img_raw + b"\nendstream")
 
     page_nums: list[int] = []
-    pages_tree_num = len(objects) + 2 * len(pages) + 1
+    n_links = sum(1 for items in pages for it in items if it[0] == "link")
+    pages_tree_num = len(objects) + 2 * len(pages) + n_links + 1
 
     space_w = HELV_WIDTHS[0]  # 278
 
@@ -1644,10 +1673,14 @@ def build_pdf(pages: list[list[tuple]], *, header: str | None = None,
                     wx += _helv_width(w, font_size) \
                         + space_w / 1000.0 * font_size
 
+        page_links: list[str] = []
         overflow = False
         for item in items:
             if overflow:
                 break
+            if item[0] == "link":
+                page_links.append(str(item[1]))
+                continue
             if item[0] == "image":
                 if y - 34 < bot_y:
                     if two_column and col == 0:
@@ -1683,11 +1716,24 @@ def build_pdf(pages: list[list[tuple]], *, header: str | None = None,
         cnum = add(b"<< /Length " + str(len(content)).encode() + extra
                    + b" >>\nstream\n" + content + b"\nendstream")
         rot_entry = f" /Rotate {rotate}".encode() if rotate else b""
+        annots_entry = b""
+        if page_links:
+            anums = [
+                add(b"<< /Type /Annot /Subtype /Link /Rect [54 "
+                    + f"{20 + 14 * k:g} 200 {32 + 14 * k:g}".encode()
+                    + b"] /A << /S /URI /URI ("
+                    + _esc_pdf_string(uri).encode("latin-1", "replace")
+                    + b") >> >>")
+                for k, uri in enumerate(page_links)
+            ]
+            annots_entry = (b" /Annots ["
+                            + " ".join(f"{n} 0 R" for n in anums).encode()
+                            + b"]")
         pnum = add(
             b"<< /Type /Page /Parent " + str(pages_tree_num).encode()
             + b" 0 R /MediaBox [0 0 "
             + f"{media_box[0]:g} {media_box[1]:g}".encode()
-            + b"]" + rot_entry
+            + b"]" + rot_entry + annots_entry
             + b" /Resources << /Font << /F1 " + str(font_num).encode()
             + b" 0 R >> /XObject << /Im1 " + str(img_num).encode()
             + b" 0 R >> >> /Contents " + str(cnum).encode() + b" 0 R >>")

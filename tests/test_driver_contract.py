@@ -47,6 +47,7 @@ ADDED_SINCE: dict[str, set[str]] = {
         "drop_repeated_spans",
         "pdf_extract",
         "pdf_layout",
+        "pdf_links",
     },
 }
 

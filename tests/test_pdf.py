@@ -540,3 +540,37 @@ def test_lzw_in_decode_stream():
                   "DecodeParms": {"EarlyChange": 0}},
                  _lzw_encode(payload, early=0))
     assert decode_stream(FakePDF(), st0) == payload
+
+
+def test_pdf_links_roundtrip():
+    from sparkhtml.spark.pdf import pdf_links
+
+    blob = build_pdf([
+        [("text", "page one body"), ("link", "https://example.com/a"),
+         ("link", "https://example.com/b(paren)")],
+        [("text", "page two body")],
+        [("link", "https://example.com/c"), ("text", "page three")],
+    ])
+    assert pdf_links(blob) == [
+        {"page": 0, "uri": "https://example.com/a"},
+        {"page": 0, "uri": "https://example.com/b(paren)"},
+        {"page": 2, "uri": "https://example.com/c"},
+    ]
+    # annots never disturb layout/extraction
+    assert "page one body" in pdf_extract_text(blob)
+    assert pdf_links(build_pdf([[("text", "no links")]])) == []
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/usr/share/doc/libtasn1-doc/libtasn1.pdf"),
+    reason="system PDF absent")
+def test_pdf_links_external_toolchain():
+    """pdfTeX-produced hyperref links — an annotation encoding our writer
+    never emits (indirect action dicts, xref streams)."""
+    from sparkhtml.spark.pdf import pdf_links
+
+    links = pdf_links(
+        open("/usr/share/doc/libtasn1-doc/libtasn1.pdf", "rb").read())
+    assert {"page": 0, "uri": "mailto:help-libtasn1@gnu.org"} in links
+    assert any(l["uri"] == "http://fsf.org/" for l in links)
+    assert len(links) == 3
