@@ -574,3 +574,48 @@ def test_pdf_links_external_toolchain():
     assert {"page": 0, "uri": "mailto:help-libtasn1@gnu.org"} in links
     assert any(l["uri"] == "http://fsf.org/" for l in links)
     assert len(links) == 3
+
+
+def _mini_pdf(content: bytes) -> bytes:
+    """Hand-built 1-page uncompressed PDF around ``content`` (test-only,
+    independent of build_pdf's object layout)."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for n, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += str(n).encode() + b" 0 obj\n" + o + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for o in offs:
+        out += f"{o:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+            + str(xref).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def test_inline_image_placeholder_and_resync():
+    """BI..ID <binary> EI must yield a media placeholder and the scanner
+    must resynchronize after arbitrary payload bytes — including a bare
+    'EI' not preceded by whitespace and raw delimiters."""
+    payload = bytes([0, 1, 255, 73, 69]) + b"xEI;()<</[" + bytes(range(32))
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 54 700 Tm (Before figure text) Tj ET\n"
+        b"q 40 0 0 30 54 640 cm "
+        b"BI /W 2 /H 2 /BPC 8 /CS /DeviceGray ID " + payload + b" EI Q\n"
+        b"BT /F1 10 Tf 1 0 0 1 54 600 Tm (After figure text) Tj ET\n"
+    )
+    spans = pdf_extract_spans(_mini_pdf(content))
+    kinds = [s["kind"] for s in spans]
+    assert kinds == ["text", "media", "text"], spans
+    assert spans[0]["text"] == "Before figure text"
+    assert spans[2]["text"] == "After figure text"
+    assert spans[1]["media_ref"] == "pdfimg:inline"
