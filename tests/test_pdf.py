@@ -619,3 +619,46 @@ def test_inline_image_placeholder_and_resync():
     assert spans[0]["text"] == "Before figure text"
     assert spans[2]["text"] == "After figure text"
     assert spans[1]["media_ref"] == "pdfimg:inline"
+
+
+def test_type0_identity_h_end_to_end():
+    """Hand-built Identity-H CID font: 2-byte codes decode via ToUnicode,
+    /W (both list and range forms) + /DW drive advances, and TJ kern
+    word-spacing inference works on the two-byte path."""
+    cmap = (b"2 beginbfchar\n<0001> <0048>\n<0002> <0069>\nendbfchar\n"
+            b"1 beginbfrange\n<000A> <000C> <0041>\nendbfrange\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding "
+        b"/Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>",
+        None,  # content, filled below
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake /DW 600 "
+        b"/W [1 [500 400] 10 12 250] >>",
+        b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + cmap + b"\nendstream",
+    ]
+    # <00010002> = "Hi"; big TJ kern => inferred word space; <000A000B000C>
+    # = "ABC" via the bfrange
+    content = (b"BT /F1 12 Tf 1 0 0 1 54 700 Tm "
+               b"[<00010002> -2000 <000A000B000C>] TJ ET\n")
+    objs[4] = (b"<< /Length " + str(len(content)).encode()
+               + b" >>\nstream\n" + content + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for n, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += str(n).encode() + b" 0 obj\n" + o + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for o in offs:
+        out += f"{o:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode()
+            + b"\n%%EOF\n")
+
+    text = pdf_extract_text(bytes(out))
+    assert text == "Hi ABC", repr(text)
