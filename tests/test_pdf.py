@@ -662,3 +662,30 @@ def test_type0_identity_h_end_to_end():
 
     text = pdf_extract_text(bytes(out))
     assert text == "Hi ABC", repr(text)
+
+
+def test_pdf_links_feed_link_graph(spark):
+    """Composition: pdf_links output (exploded to one row per link)
+    drives the HTML tier's normalize_url unchanged — PDF corpora join
+    the same link graph."""
+    from pyspark.sql import functions as F
+
+    from sparkhtml.spark.links import normalize_url
+    from sparkhtml.spark.pdf import build_pdf, pdf_links
+
+    rows = []
+    for i in range(6):
+        blob = build_pdf([[
+            ("text", f"doc {i}"),
+            ("link", f"HTTPS://Example.COM:443/path{i}#frag"),
+            ("link", f"http://site{i}.org:80/"),
+        ]])
+        for l in pdf_links(bytes(blob)):
+            rows.append((f"d{i}", l["page"], l["uri"]))
+    df = spark.createDataFrame(rows, "doc_id string, page int, uri string")
+    out = {r.uri: r.norm for r in
+           df.select("uri", normalize_url("uri").alias("norm")).collect()}
+    assert out["HTTPS://Example.COM:443/path0#frag"] == \
+        "https://example.com/path0"
+    assert out["http://site3.org:80/"] == "http://site3.org"
+    assert len(out) == 12
