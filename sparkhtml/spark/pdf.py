@@ -993,9 +993,6 @@ class Frag:
         self.size, self.text, self.ref = size, text, ref
 
 
-_OP_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
-
-
 # One-pass content-stream scanner: a single alternation visits each byte
 # once (vs the generic object parser's per-token _skip_ws + dispatch).
 # Branch order matters — numbers before generic operators.
