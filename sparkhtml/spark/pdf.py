@@ -1580,7 +1580,7 @@ def build_pdf(pages: list[list[tuple]], *, header: str | None = None,
               footer: str | None = None, two_column: bool = False,
               compress: bool = True, font_size: float = 10.0,
               page_size: tuple = (612, 792), margin: float = 54.0,
-              rotate: int = 0) -> bytes:
+              rotate: int = 0, xref_stream: bool = False) -> bytes:
     """Deterministic PDF writer for tests.
 
     ``pages`` is a list of pages; each page is a list of items:
@@ -1742,6 +1742,58 @@ def build_pdf(pages: list[list[tuple]], *, header: str | None = None,
     assert ptn == pages_tree_num, (ptn, pages_tree_num)
     cat = add(b"<< /Type /Catalog /Pages " + str(ptn).encode() + b" 0 R >>")
     info = add(b"<< /Producer (sparkhtml.pdf build_pdf) >>")
+
+    if xref_stream:
+        # PDF 1.5 layout: non-stream objects packed into one /ObjStm
+        # (type-2 xref entries), stream objects direct (type-1), and a
+        # /Type /XRef cross-reference STREAM instead of a classic table
+        # — the same structures pdfTeX emits, so the reader's hardest
+        # D1 branches get volume self-coverage, not just two externals.
+        out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        objstm_num = len(objects) + 1
+        xref_num = len(objects) + 2
+        size = len(objects) + 3
+        direct_off: dict[int, int] = {}
+        packed: dict[int, bytes] = {}
+        for num, obj in enumerate(objects, 1):
+            if b"endstream" in obj:
+                direct_off[num] = len(out)
+                out += str(num).encode() + b" 0 obj\n" + obj + b"\nendobj\n"
+            else:
+                packed[num] = obj
+        hdr_parts = []
+        body = bytearray()
+        idx_of: dict[int, int] = {}
+        for k, (num, obj) in enumerate(packed.items()):
+            idx_of[num] = k
+            hdr_parts.append(f"{num} {len(body)}")
+            body += obj + b"\n"
+        hdr = (" ".join(hdr_parts) + "\n").encode()
+        stm = zlib.compress(bytes(hdr + body))
+        direct_off[objstm_num] = len(out)
+        out += (f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+                f"/First {len(hdr)} /Filter /FlateDecode "
+                f"/Length {len(stm)} >>\nstream\n").encode()
+        out += stm + b"\nendstream\nendobj\n"
+        xref_off = len(out)
+        direct_off[xref_num] = xref_off
+        rows = bytearray()
+        for num in range(size):
+            if num == 0:
+                t, f2, f3 = 0, 0, 65535
+            elif num in idx_of:
+                t, f2, f3 = 2, objstm_num, idx_of[num]
+            else:
+                t, f2, f3 = 1, direct_off[num], 0
+            rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        xdata = zlib.compress(bytes(rows))
+        out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} "
+                f"/W [1 4 2] /Root {cat} 0 R /Info {info} 0 R "
+                f"/Filter /FlateDecode /Length {len(xdata)} >>\n"
+                f"stream\n").encode()
+        out += xdata + b"\nendstream\nendobj\n"
+        out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+        return bytes(out)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]

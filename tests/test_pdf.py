@@ -689,3 +689,60 @@ def test_pdf_links_feed_link_graph(spark):
         "https://example.com/path0"
     assert out["http://site3.org:80/"] == "http://site3.org"
     assert len(out) == 12
+
+
+def test_xref_stream_objstm_roundtrip():
+    """xref_stream=True emits PDF 1.5 structures (ObjStm with type-2
+    entries + /Type /XRef stream) — the reader's hardest object-layer
+    branches, previously covered only by the two external files. Same
+    logical document, byte-different encoding, identical extraction."""
+    import random
+
+    from sparkhtml.spark.pdf import pdf_links
+
+    rng = random.Random(99)
+    for t in range(60):
+        pages = []
+        for j in range(rng.randrange(1, 4)):
+            items = [("text", " ".join(
+                f"t{t}p{j}w{k}" for k in range(rng.randrange(3, 50))))]
+            if rng.random() < 0.4:
+                items.append(("image",))
+            if rng.random() < 0.3:
+                items.append(("link", f"https://ex.org/{t}/{j}"))
+            pages.append(items)
+        kw = {}
+        if rng.random() < 0.3:
+            kw = dict(header="HDR", footer="Pg")
+        classic = build_pdf(pages, **kw)
+        modern = build_pdf(pages, xref_stream=True, **kw)
+        assert pdf_extract_spans(modern) == pdf_extract_spans(classic), t
+        assert pdf_links(modern) == pdf_links(classic), t
+        assert pdf_page_count(modern) == len(pages), t
+
+
+def test_xref_stream_mutation_fuzz():
+    """The 1.5 layout must honour the same never-hang error contract."""
+    import random
+
+    from sparkhtml.spark.pdf import pdf_doc_spans
+
+    rng = random.Random(0xBEEF)
+    base = build_pdf([[("text", "fuzz corpus " * 30), ("image",)]],
+                     xref_stream=True)
+    n_ok = n_rej = 0
+    for trial in range(150):
+        blob = bytearray(base)
+        if trial % 2:
+            blob = blob[: rng.randrange(1, len(blob))]
+        else:
+            for _ in range(rng.randrange(1, 6)):
+                blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        try:
+            pdf_doc_spans(bytes(blob))
+            n_ok += 1
+        except Exception:
+            n_rej += 1
+    # compressed xref/objstm make most mutants fatal by design —
+    # the contract under test is raise-not-hang, plus a few survivors
+    assert n_ok >= 3 and n_rej > 50, (n_ok, n_rej)
