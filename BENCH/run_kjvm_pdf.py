@@ -183,9 +183,16 @@ def run_sharded(k: int, cpus_each: int, out_dir: str) -> dict:
             if all(os.path.exists(os.path.join(bd, f"ready_s{s}"))
                    for s in range(k)):
                 break
-            if any(p.poll() is not None for p in procs):
+            dead = [p for p in procs if p.poll() is not None]
+            if dead:
+                # kill the live shards FIRST — they spin on the never-
+                # written "go" file, and communicate() on a live one
+                # would block forever
+                for p in procs:
+                    if p.poll() is None:
+                        p.kill()
                 raise RuntimeError("a shard JVM died before the barrier: "
-                                   + procs[0].communicate()[1][-2000:])
+                                   + dead[0].communicate()[1][-2000:])
             time.sleep(0.05)
         else:
             raise RuntimeError("barrier timeout")

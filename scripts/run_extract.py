@@ -63,7 +63,19 @@ def main(argv=None) -> int:
     if "payload" in docs.columns and "spans" not in docs.columns:
         from sparkhtml.spark.pdf import pdf_spans_df
 
-        docs = pdf_spans_df(docs).select("doc_id", "spans")
+        # persist: ChunkedRun's per-chunk filters sit ABOVE this Python
+        # stage in the plan, so without materialization every chunk job
+        # (plus the straggler and metrics passes) would re-parse the
+        # whole PDF corpus (~ms/doc) from scratch
+        parsed = pdf_spans_df(docs).persist()
+        # error channel stays VISIBLE: malformed/encrypted blobs land in
+        # <output>_pdf_errors instead of masquerading as empty documents
+        # (a SIBLING path — a subdir would break reading <output> as one
+        # parquet table, since the error schema differs from spans)
+        parsed.filter(parsed.err.isNotNull()).select("doc_id", "err") \
+            .write.mode("overwrite").parquet(
+                args.output.rstrip("/") + "_pdf_errors")
+        docs = parsed.select("doc_id", "spans")
 
     partitions = args.partitions or spark.sparkContext.defaultParallelism * 2
     normal, stragglers = straggler_split(docs, args.straggler_chars)

@@ -273,7 +273,7 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     prev = bytearray(row_len)
     i = 0
     n = len(data)
-    while i + 1 <= n - row_len if False else i < n:
+    while i < n:
         ft = data[i]
         i += 1
         row = bytearray(data[i:i + row_len])
@@ -521,10 +521,12 @@ class PDF:
                     raise PDFError(f"bad xref entry at {i}: {ent!r}")
                 if em.group(3) == b"n":
                     self.xref.setdefault(start + k, ("off", int(em.group(1))))
-                i += 20
-                while i < len(data) and data[i] in b"\r\n" and (i - _skip_ws(data, i)) == 0 and False:
+                # spec entries are exactly 20 bytes, but a known class of
+                # broken writers emits 19 (single-char EOL): advance past
+                # the matched 18-byte body, then eat whatever EOL follows
+                i += em.end()
+                while i < len(data) and data[i] in b" \r\n":
                     i += 1
-            i = _skip_ws(data, i)
 
     def _load_xref_stream(self, st: Stream) -> int:
         d = st.dict
@@ -1085,13 +1087,20 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
     fonts_d = pdf.resolve(resources.get("Font")) or {}
     xobjs = pdf.resolve(resources.get("XObject")) or {}
 
-    font_cache: dict[str, Font] = {}
+    # document-level font cache: multi-page docs share font dicts, and
+    # re-parsing a ToUnicode CMap + /W array per PAGE is O(pages) waste
+    doc_cache = getattr(pdf, "_font_cache", None)
+    if doc_cache is None:
+        doc_cache = pdf._font_cache = {}
 
     def get_font(name: str) -> Font:
-        if name not in font_cache:
-            fd = fonts_d.get(name)
-            font_cache[name] = load_font(pdf, fd) if fd is not None else Font()
-        return font_cache[name]
+        fd = fonts_d.get(name)
+        if fd is None:
+            return Font()
+        key = (fd.num, fd.gen) if isinstance(fd, Ref) else id(fd)
+        if key not in doc_cache:
+            doc_cache[key] = load_font(pdf, fd)
+        return doc_cache[key]
 
     frags: list[Frag] = []
     ctm = _ctm
@@ -1156,10 +1165,12 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
         op = val
         try:
             if op == b"q":
-                stack.append(ctm)
+                # §8.4.2: the graphics state includes the TEXT-state
+                # params (font, size, Tc/Tw/Tz/TL/Ts), not just the CTM
+                stack.append((ctm, font, tfs, tc, tw, tz, tl, ts))
             elif op == b"Q":
                 if stack:
-                    ctm = stack.pop()
+                    ctm, font, tfs, tc, tw, tz, tl, ts = stack.pop()
             elif op == b"cm" and len(operands) >= 6:
                 m = tuple(float(v) for v in operands[-6:])
                 ctm = mat_mul(m, ctm)
@@ -1219,8 +1230,7 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
                             sx0, sy0 = mat_apply(m, 0.0, ts)
                             frags.append(Frag(
                                 "text", sx0, sy0,
-                                mat_apply(m, shift / max(tfs, 1e-9) * tfs, ts)[0]
-                                if tfs else sx0,
+                                mat_apply(m, shift, ts)[0],
                                 dev_size(m), " "))
                         tm = mat_mul((1, 0, 0, 1, shift, 0), tm)
             elif op == b"Do" and operands:
@@ -1502,10 +1512,12 @@ def pdf_links(data: bytes) -> list[dict]:
             continue
         for a in annots:
             a = pdf.resolve(a)
-            if not isinstance(a, dict) or str(a.get("Subtype")) != "Link":
+            if (not isinstance(a, dict)
+                    or str(pdf.resolve(a.get("Subtype"))) != "Link"):
                 continue
             action = pdf.resolve(a.get("A"))
-            if not isinstance(action, dict) or str(action.get("S")) != "URI":
+            if (not isinstance(action, dict)
+                    or str(pdf.resolve(action.get("S"))) != "URI"):
                 continue
             uri = pdf.resolve(action.get("URI"))
             if isinstance(uri, bytes):
@@ -1670,13 +1682,15 @@ def build_pdf(pages: list[list[tuple]], *, header: str | None = None,
                     wx += _helv_width(w, font_size) \
                         + space_w / 1000.0 * font_size
 
-        page_links: list[str] = []
+        # links collected up front: they are annotations, not layout, so
+        # overflow must not drop them (pages_tree_num pre-counts them all)
+        page_links: list[str] = [str(it[1]) for it in items
+                                 if it[0] == "link"]
         overflow = False
         for item in items:
             if overflow:
                 break
             if item[0] == "link":
-                page_links.append(str(item[1]))
                 continue
             if item[0] == "image":
                 if y - 34 < bot_y:

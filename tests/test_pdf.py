@@ -746,3 +746,43 @@ def test_xref_stream_mutation_fuzz():
     # compressed xref/objstm make most mutants fatal by design —
     # the contract under test is raise-not-hang, plus a few survivors
     assert n_ok >= 3 and n_rej > 50, (n_ok, n_rej)
+
+
+def test_overflowing_page_with_link_builds():
+    """Regression: links collected after a text overflow used to break
+    the writer's precomputed object numbering (AssertionError)."""
+    big = " ".join(f"w{i}" for i in range(900))
+    blob = build_pdf([[("text", big), ("link", "https://x.org/kept")]])
+    from sparkhtml.spark.pdf import pdf_links
+    assert pdf_links(blob) == [{"page": 0, "uri": "https://x.org/kept"}]
+
+
+def test_negative_font_size_tj_kern():
+    """Regression: '-10 Tf' with a wide TJ kern exploded the inferred
+    word-space fragment's x1 to ~1e10 via max(tfs, 1e-9)."""
+    content = (b"BT /F1 -10 Tf 1 0 0 1 54 700 Tm "
+               b"[(Hello) -2780 (World)] TJ ET\n")
+    spans = pdf_extract_spans(_mini_pdf(content))
+    for s in spans:
+        assert s["kind"] == "text"
+    # no frag may extend beyond any plausible page coordinate
+    from sparkhtml.spark.pdf import PDF, interpret_page
+    pdf = PDF(_mini_pdf(content))
+    for f in interpret_page(pdf, pdf.pages()[0]):
+        assert abs(f.x1) < 10000, f.x1
+
+
+def test_q_restores_text_state():
+    """Regression: q/Q saved only the CTM; Tc/Tw/font set inside q..Q
+    leaked out (ISO 32000-1 8.4.2 includes text state)."""
+    content = (b"q BT /F1 10 Tf 50 Tc ET Q "
+               b"BT /F1 10 Tf 1 0 0 1 54 700 Tm (AB) Tj ET\n")
+    pdf_bytes = _mini_pdf(content)
+    from sparkhtml.spark.pdf import PDF, interpret_page
+    pdf = PDF(pdf_bytes)
+    frags = [f for f in interpret_page(pdf, pdf.pages()[0])
+             if f.kind == "text"]
+    assert len(frags) == 1
+    # Helvetica 'A'+'B' at 10pt = (667+667)/1000*10 = 13.34; with the
+    # leaked Tc=50 it would be ~113
+    assert frags[0].x1 - frags[0].x0 < 20, frags[0].x1 - frags[0].x0
