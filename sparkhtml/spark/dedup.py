@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from . import _register_cached
+from .partitioning import fan_out
 from pyspark.sql.types import LongType
 
 
@@ -113,8 +114,11 @@ def minhash_signatures(
       check LSH pair output exactly (CORRECTNESS r2's three ``no_oracle``
       rows). Same banding/verify machinery either way.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
+    # fan_out BEFORE shingling: the fold below is the expensive map side
+    # of the whole LSH pipeline, and a one-row-group corpus scan would
+    # otherwise run it on a single task (guide §2.5)
+    sh = fan_out(df.select(F.col(id_col).alias("doc_id"), F.col(col))).select(
+        "doc_id",
         shingles_col(col, shingle_n).alias("sh"),
     )
     if hash_mode == "md5":
@@ -264,7 +268,9 @@ def simhash_df(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     def simhash(s: pd.Series) -> pd.Series:
         return batch_fn(s)
 
-    return df.select(F.col(id_col).alias("doc_id"), simhash(F.col(col)).alias("simhash"))
+    return fan_out(df.select(F.col(id_col).alias("doc_id"), F.col(col))).select(
+        "doc_id", simhash(F.col(col)).alias("simhash")
+    )
 
 
 def _simhash_stable_batch(texts: pd.Series) -> pd.Series:

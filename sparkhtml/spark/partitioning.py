@@ -21,6 +21,66 @@ from pyspark.sql import DataFrame, functions as F
 
 SALT_N = 64
 
+# fan_out guard: inputs smaller than this stay put — the exchange +
+# per-task scheduling overhead exceeds the parallelism gain (the SCALE.md
+# §11 parallelize-vs-batch threshold, re-measured round 7 at sf0.1/sf1.0:
+# ~0.6 MB inputs are a wash, ~2.5 MB+ inputs win 4-8×). Tune per call
+# site only with a measurement.
+FAN_OUT_MIN_BYTES = 1 << 20
+
+
+def fan_out(
+    df: DataFrame,
+    min_bytes: int = FAN_OUT_MIN_BYTES,
+    key: str | None = None,
+) -> DataFrame:
+    """Round-robin repartition to the session's core count when the input
+    is an underpartitioned scan worth spreading.
+
+    The unsplittable-input pitfall (optimization guide §2.5, SCALE.md
+    "row-group pitfall"): a parquet file whose row groups exceed the scan
+    split size serializes the whole downstream stage onto one task — at
+    local[32] a mapInArrow parse runs 1-way while 31 cores idle. Spark
+    cannot split inside a row group, so the only fix is an explicit
+    exchange right after the read.
+
+    Guards (all must pass, otherwise the frame is returned untouched):
+
+    - not a streaming frame (repartition-by-number is unsupported there);
+    - Catalyst's optimized-plan size estimate ≥ ``min_bytes`` — tiny
+      inputs lose more to the exchange + task scheduling than they gain
+      (measured: see FAN_OUT_MIN_BYTES);
+    - physical partition count < half the session's default parallelism —
+      well-partitioned inputs (every real 100 TB table) make this a
+      no-op, so the exchange only appears in the degenerate local shapes.
+
+    Value-neutral: a round-robin exchange permutes row order only, and
+    every declared query is order-insensitive (the correctness gate
+    hashes sorted row digests).
+    """
+    if df.isStreaming:
+        return df
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if size < min_bytes:
+            return df
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - conservative: never fail a plan
+        return df
+    if nparts * 2 >= target:
+        return df
+    if key is not None:
+        # Hash-partitioning on a high-cardinality key (doc_id) spreads as
+        # evenly as round-robin here, skips round-robin's local
+        # sort-before-repartition pass, and — the real point — publishes
+        # an outputPartitioning that downstream windows/joins clustered on
+        # (key, ...) can reuse, eliminating their exchange (guide §2.4).
+        return df.repartition(target, F.col(key))
+    return df.repartition(target)
+
 
 def doc_size_col() -> "F.Column":
     """Total character payload of a document's text spans."""

@@ -1878,7 +1878,11 @@ def pdf_extract_df(df, payload_col: str = "payload", id_col: str = "doc_id"):
                 names=[id_col, "n_pages", "n_media", "n_chars",
                        "text", "err"])
 
-    return df.mapInArrow(work, out_schema)
+    from .partitioning import fan_out
+
+    return fan_out(
+        df.select(id_col, payload_col)
+    ).mapInArrow(work, out_schema)
 
 
 def pdf_spans_df(df, payload_col: str = "payload", id_col: str = "doc_id"):
@@ -1916,4 +1920,8 @@ def pdf_spans_df(df, payload_col: str = "payload", id_col: str = "doc_id"):
                  pa.array(errs, pa.string())],
                 names=[id_col, "spans", "err"])
 
-    return df.mapInArrow(work, out_schema)
+    from .partitioning import fan_out
+
+    return fan_out(
+        df.select(id_col, payload_col)
+    ).mapInArrow(work, out_schema)

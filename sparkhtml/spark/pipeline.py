@@ -38,7 +38,7 @@ from ..escape import escape_series, unescape_series
 from ..extract import doc_metrics, extract_main_text, extract_spans
 from ..selector import CompiledSelector
 from . import schemas
-from .partitioning import with_size_salt
+from .partitioning import fan_out, with_size_salt
 
 # Arrow field layouts for the hand-built output batches. Kept in lockstep
 # with schemas.py via to_arrow_schema (tests/test_spark.py asserts this).
@@ -195,7 +195,7 @@ def extract_spans_df(documents: DataFrame, *, arrow: bool = True) -> DataFrame:
     ``arrow=True`` (default) runs the RecordBatch-native worker; the
     pandas worker (``arrow=False``) is kept as the differential oracle.
     """
-    src = documents.select("doc_id", "spans")
+    src = fan_out(documents.select("doc_id", "spans"))
     if arrow:
         return src.mapInArrow(_extract_arrow, schema=schemas.SPANS_OUT)
     return src.mapInPandas(_extract_batch, schema=schemas.SPANS_OUT)
@@ -384,8 +384,11 @@ def parse_nodes_df(df: DataFrame, html_col: str = "html",
     :mod:`sparkhtml.spark.queries` run over it with joins/windows.
     ``arrow=False`` selects the pandas differential-oracle worker.
     """
-    src = df.select(F.col(id_col).cast("string").alias("doc_id"),
-                    F.col(html_col).alias("html"))
+    # keyed fan_out: the nodes table is consumed by selector plans whose
+    # windows/joins cluster on (doc_id, ...) — hash-partitioning the
+    # parse output by doc_id lets them reuse this exchange (guide §2.4)
+    src = fan_out(df.select(F.col(id_col).cast("string").alias("doc_id"),
+                            F.col(html_col).alias("html")), key="doc_id")
     if arrow:
         return src.mapInArrow(_parse_nodes_arrow, schema=schemas.NODES)
     return src.mapInPandas(_parse_nodes_batch, schema=schemas.NODES)
@@ -575,7 +578,7 @@ def _metrics_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
 
 def extract_metrics_df(documents: DataFrame, *, arrow: bool = True) -> DataFrame:
     """Per-document metrics table (lineage layer, SURVEY.md §4.3)."""
-    src = documents.select("doc_id", "spans")
+    src = fan_out(documents.select("doc_id", "spans"))
     if arrow:
         return src.mapInArrow(_metrics_arrow, schema=schemas.EXTRACT_METRICS)
     return src.mapInPandas(_metrics_batch, schema=schemas.EXTRACT_METRICS)

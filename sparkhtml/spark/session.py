@@ -54,7 +54,27 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Shuffle-file churn (guide §2.1/§6, measured round 7): the
+        # bypass-merge shuffle writer creates one file per (map task ×
+        # reduce partition); at 32 maps × 64 reducers that is 2048 file
+        # creates per exchange, and this box's root FS has ~ms file-create
+        # latency — event-log showed 5.5 s of Shuffle Write Time for a
+        # 568 KB exchange. Threshold 8 selects the serialized-sort writer
+        # (one data+index file per map task) for anything wider; at
+        # cluster scale (reducers > 200) the sort writer is used anyway,
+        # so this only changes the small-shuffle regime the bypass path
+        # pessimizes here.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "8")
     )
+    # Shuffle scratch on tmpfs when available (same measurement): shuffle
+    # blocks land on spark.local.dir, and a RAM-backed dir removes the
+    # file-create latency entirely. A real cluster provisions NVMe scratch
+    # for exactly this; the env override is the cluster knob.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     # High-core single-JVM regime (local[16+]): ParallelGC beat the Java 17
     # default G1 on 8→32 scaling efficiency pairwise in every interleaved
     # round of BENCH/run_gc_experiment.py (~5-8%; the Arrow pump allocates

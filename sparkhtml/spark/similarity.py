@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from . import _register_cached
+from .partitioning import fan_out
 
 
 def _norm_col(vec: str):
@@ -51,7 +52,7 @@ def cosine_topk(
         F.greatest(_norm_col(vec_col), F.lit(1e-12)) * F.lit(qnorm)
     )
     return (
-        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        fan_out(df).select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -71,6 +72,7 @@ def cosine_topk_vs(
     for the same reason).
     """
     qv = query_vec_col or vec_col
+    df = fan_out(df)
     if hasattr(query_df, "scalar"):
         # Spark 4 scalar-subquery shape (round 6): the query vector and
         # norm are evaluated once as subqueries and flow into the scan

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .partitioning import fan_out
+
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
 # language-ID. The testdata 'lang' column is synthetic, so the honest design
 # is a deterministic heuristic both Spark and the SQL oracle can express.
@@ -55,7 +57,7 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     four times per row (CollapseProject keeps a non-cheap multi-use alias
     materialized, so the bound column is evaluated once)."""
     c = F.col(col)
-    bound = df.withColumn(
+    bound = fan_out(df).withColumn(
         "_words", F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
     )
     words = F.col("_words")
@@ -153,7 +155,9 @@ def text_cleanup(df: DataFrame, id_col: str = "doc_id",
     n_moji = F.size(
         F.regexp_extract_all(c, F.lit(_MOJIBAKE_RE), F.lit(0))
     )
-    return df.select(
+    # project to the two consumed columns BEFORE the fan_out exchange
+    # (guide §2.3: shuffle fewer bytes)
+    return fan_out(df.select(id_col, col)).select(
         F.col(id_col),
         cleaned.alias("clean_text"),
         n_ctrl.cast("bigint").alias("n_ctrl"),
