@@ -118,6 +118,13 @@ def _parse_name(data: bytes, i: int):
 
 def _parse_literal_string(data: bytes, i: int):
     # data[i] == '('
+    # fast path: no escapes / nesting before the closing paren — the
+    # overwhelmingly common shape of content-stream text strings
+    j = data.find(b")", i + 1)
+    if j >= 0:
+        body = data[i + 1:j]
+        if b"\\" not in body and b"(" not in body:
+            return body, j + 1
     i += 1
     out = bytearray()
     depth = 1
@@ -198,6 +205,18 @@ def _parse_hex_string(data: bytes, i: int):
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _INT_RE = re.compile(rb"\d+")
 
+# Array-element fast path: one combined match for leading whitespace plus
+# either an indirect reference ("n g R") or a plain number. Numeric arrays
+# (/Widths with ~100 entries, /W, matrices, Kids) otherwise cost 4-5
+# separate regex calls per element through the generic dispatch.
+_ARR_ITEM_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:(?P<rnum>\d+)(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+"
+    rb"(?P<rgen>\d+)(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+R"
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+)))"
+)
+
 
 def parse_object(data: bytes, i: int):
     """Parse one PDF object at ``i``; returns (object, next_index)."""
@@ -227,15 +246,26 @@ def parse_object(data: bytes, i: int):
         return _parse_hex_string(data, i)
     if c == 0x5B:  # [
         arr = []
+        append = arr.append
         i += 1
+        item_match = _ARR_ITEM_RE.match
         while True:
+            m = item_match(data, i)
+            if m is not None:
+                tok = m.group("num")
+                if tok is not None:
+                    append(float(tok) if b"." in tok else int(tok))
+                else:
+                    append(Ref(int(m.group("rnum")), int(m.group("rgen"))))
+                i = m.end()
+                continue
             i = _skip_ws(data, i)
             if i >= len(data):
                 raise PDFError("unterminated array")
             if data[i] == 0x5D:
                 return arr, i + 1
             v, i = parse_object(data, i)
-            arr.append(v)
+            append(v)
     m = _NUM_RE.match(data, i)
     if m and m.start() == i:
         tok = m.group()
@@ -874,9 +904,67 @@ class Font:
             yield from raw
 
 
+_UNFREEZABLE = object()
+
+
+def _freeze_inline(obj, depth: int = 0, budget: list | None = None):
+    """Canonical hashable form of a fully-INLINE object tree; returns
+    ``_UNFREEZABLE`` when the tree contains indirect refs / streams (or
+    is adversarially deep/large), in which case memoization is unsafe
+    because the same dict bytes could resolve differently per document."""
+    if budget is None:
+        budget = [2048]
+    budget[0] -= 1
+    if depth > 8 or budget[0] < 0:
+        return _UNFREEZABLE
+    if obj is None or isinstance(obj, (bool, int, float, str, bytes)):
+        return obj  # Name is a str subclass; equal names behave equally
+    if isinstance(obj, list):
+        out = []
+        for v in obj:
+            fv = _freeze_inline(v, depth + 1, budget)
+            if fv is _UNFREEZABLE:
+                return _UNFREEZABLE
+            out.append(fv)
+        return ("L", tuple(out))
+    if isinstance(obj, dict):
+        out = []
+        for k in sorted(obj):
+            fv = _freeze_inline(obj[k], depth + 1, budget)
+            if fv is _UNFREEZABLE:
+                return _UNFREEZABLE
+            out.append((k, fv))
+        return ("D", tuple(out))
+    return _UNFREEZABLE  # Ref, Stream, anything exotic
+
+
+# Cross-document font memo (process-wide, bounded). Real corpora repeat a
+# handful of standard fonts across millions of documents; re-deriving the
+# widths/encoding tables per document was ~18% of PDF parse time. Only
+# fully-inline font dicts participate (see _freeze_inline); Font objects
+# are immutable after load (tables() memoizes idempotently), so sharing
+# across PDFs is safe.
+_FONT_MEMO: dict = {}
+_FONT_MEMO_CAP = 512
+
+
 def load_font(pdf: PDF, fd: dict) -> Font:
-    f = Font()
     fd = pdf.resolve(fd) or {}
+    key = _freeze_inline(fd)
+    if key is not _UNFREEZABLE:
+        cached = _FONT_MEMO.get(key)
+        if cached is not None:
+            return cached
+    f = _load_font_impl(pdf, fd)
+    if key is not _UNFREEZABLE:
+        if len(_FONT_MEMO) >= _FONT_MEMO_CAP:
+            _FONT_MEMO.clear()
+        _FONT_MEMO[key] = f
+    return f
+
+
+def _load_font_impl(pdf: PDF, fd: dict) -> Font:
+    f = Font()
     f.name = str(pdf.resolve(fd.get("BaseFont", "")))
     subtype = str(pdf.resolve(fd.get("Subtype", "")))
     tu = pdf.resolve(fd.get("ToUnicode"))
@@ -999,50 +1087,62 @@ class Frag:
 # once (vs the generic object parser's per-token _skip_ws + dispatch).
 # Branch order matters — numbers before generic operators.
 _CTOK_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+"
-    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
     rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
-    rb"|(?P<delim>[()<>{}\[\]])"
+    rb"|(?P<delim>[()<>{}\[\]]))"
 )
 
 
-def _content_tokens(data: bytes):
-    """Yield ((kind, value), pos): ('obj', o) for operands, ('op', b) ops.
+def _content_tokens(data: bytes) -> list:
+    """Return [(kind, value, pos), ...]: ('obj', o, p) for operands,
+    ('op', b, p) for operators.
 
     Arrays (TJ) are assembled inline via a stack; dicts (inline-image BI
     parameters) and strings fall back to the generic parsers. No indirect
     references exist inside content streams (ISO 32000-1 §7.8.2), so all
-    numbers are plain floats.
+    numbers are plain floats. Returns a prebuilt list rather than a
+    generator: content streams are small and the ~2 tokens/op generator
+    frame switches were a measured ~15% of interpret_page.
     """
+    out: list = []
+    emit = out.append
     i = 0
     n = len(data)
     stack: list[list] = []
+    ctok_match = _CTOK_RE.match
     while i < n:
-        m = _CTOK_RE.match(data, i)
+        m = ctok_match(data, i)
         if m is None:
-            i += 1
+            # trailing whitespace / lone EOF comment: no token follows
+            if data[i] == 0x25:  # '%' — skip the whole comment
+                j = data.find(b"\n", i)
+                i = n if j < 0 else j + 1
+            else:
+                i += 1
             continue
         i = m.end()
         kind = m.lastgroup
-        if kind is None:
-            continue  # whitespace / comment
+        # NOTE group(kind), not group(): the match includes the leading
+        # whitespace/comment prefix; the token is the named group
         if kind == "op":
             if stack:
                 stack.clear()  # op inside an unterminated array: recover
-            yield ("op", m.group()), i
+            emit(("op", m.group("op"), i))
             continue
         obj = None
         if kind == "num":
-            obj = float(m.group())
+            obj = float(m.group("num"))
         elif kind == "name":
-            tok = m.group()
+            tok = m.group("name")
             if b"#" in tok:
                 obj, _ = _parse_name(tok, 0)
             else:
                 obj = Name(tok[1:].decode("latin-1"))
         else:  # delimiter
-            c = m.group()
+            c = m.group("delim")
+            d0 = m.start("delim")
             try:
                 if c == b"[":
                     stack.append([])
@@ -1052,12 +1152,12 @@ def _content_tokens(data: bytes):
                         continue  # stray
                     obj = stack.pop()
                 elif c == b"(":
-                    obj, i = _parse_literal_string(data, m.start())
+                    obj, i = _parse_literal_string(data, d0)
                 elif c == b"<":
-                    if data.startswith(b"<<", m.start()):
-                        obj, i = parse_object(data, m.start())
+                    if data.startswith(b"<<", d0):
+                        obj, i = parse_object(data, d0)
                     else:
-                        obj, i = _parse_hex_string(data, m.start())
+                        obj, i = _parse_hex_string(data, d0)
                 else:
                     continue  # stray ) > { }
             except PDFError:
@@ -1065,7 +1165,8 @@ def _content_tokens(data: bytes):
         if stack:
             stack[-1].append(obj)
         else:
-            yield ("obj", obj), i
+            emit(("obj", obj, i))
+    return out
 
 
 def _find_inline_image_end(data: bytes, i: int) -> int:
@@ -1122,16 +1223,14 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
         nonlocal tm
         if not isinstance(raw, bytes) or not raw:
             return
-        m = mat_mul(tm, ctm)
+        m = tm if ctm is IDENTITY else mat_mul(tm, ctm)
         x0, y0 = mat_apply(m, 0.0, ts)
         if not font.two_byte:
             # aggregate 1-byte path: only the TOTAL advance positions the
             # fragment, so the per-glyph sum collapses to one width sum +
             # count terms, and decoding is one translate over latin-1
             trans, warr = font.tables()
-            sum_w = 0.0
-            for code in raw:
-                sum_w += warr[code]
+            sum_w = sum(map(warr.__getitem__, raw))  # C-level per-byte sum
             tx = (sum_w / 1000.0 * tfs + len(raw) * tc
                   + raw.count(32) * tw) * tz / 100.0
             text = raw.decode("latin-1").translate(trans)
@@ -1143,28 +1242,53 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
                 adv = font.width(code) / 1000.0 * tfs + tc
                 tx += adv * tz / 100.0
             text = "".join(chars)
-        x1, _ = mat_apply(m, tx, ts)
-        if text.strip("� "):
+        x1 = x0 + m[0] * tx  # mat_apply x-component, y dropped
+        if text.strip("\ufffd "):
             frags.append(Frag("text", x0, y0, x1, dev_size(m), text))
         elif text:
             # pure spaces / unknowns still advance
             pass
-        tm = mat_mul((1, 0, 0, 1, tx, 0), tm)
+        # translation-only advance: inline mat_mul((1,0,0,1,tx,0), tm)
+        tm = (tm[0], tm[1], tm[2], tm[3],
+              tm[4] + tx * tm[0], tm[5] + tx * tm[1])
 
     tokens = _content_tokens(content)
-    it = iter(tokens)
+    ti = 0
+    n_tok = len(tokens)
     data = content
-    while True:
-        try:
-            (kind, val), pos = next(it)
-        except StopIteration:
-            break
+    while ti < n_tok:
+        kind, val, pos = tokens[ti]
+        ti += 1
         if kind == "obj":
             operands.append(val)
             continue
         op = val
         try:
-            if op == b"q":
+            if op == b"Td" and len(operands) >= 2:
+                lm = mat_mul((1, 0, 0, 1,
+                              float(operands[-2]), float(operands[-1])), lm)
+                tm = lm
+            elif op == b"TJ" and operands and isinstance(operands[-1], list):
+                for item in operands[-1]:
+                    if isinstance(item, bytes):
+                        show(item)
+                    elif isinstance(item, (int, float)):
+                        shift = -float(item) / 1000.0 * tfs * tz / 100.0
+                        if item <= -180:
+                            # kern wide enough to be an encoded word space
+                            m = (tm if ctm is IDENTITY
+                                 else mat_mul(tm, ctm))
+                            sx0, sy0 = mat_apply(m, 0.0, ts)
+                            frags.append(Frag(
+                                "text", sx0, sy0,
+                                sx0 + m[0] * shift,
+                                dev_size(m), " "))
+                        tm = (tm[0], tm[1], tm[2], tm[3],
+                              tm[4] + shift * tm[0],
+                              tm[5] + shift * tm[1])
+            elif op == b"Tj" and operands:
+                show(operands[-1])
+            elif op == b"q":
                 # §8.4.2: the graphics state includes the TEXT-state
                 # params (font, size, Tc/Tw/Tz/TL/Ts), not just the CTM
                 stack.append((ctm, font, tfs, tc, tw, tz, tl, ts))
@@ -1182,10 +1306,6 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
             elif op == b"Tf" and len(operands) >= 2:
                 font = get_font(str(operands[-2]))
                 tfs = float(operands[-1])
-            elif op == b"Td" and len(operands) >= 2:
-                lm = mat_mul((1, 0, 0, 1,
-                              float(operands[-2]), float(operands[-1])), lm)
-                tm = lm
             elif op == b"TD" and len(operands) >= 2:
                 tl = -float(operands[-1])
                 lm = mat_mul((1, 0, 0, 1,
@@ -1206,8 +1326,6 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
                 tz = float(operands[-1])
             elif op == b"Ts" and operands:
                 ts = float(operands[-1])
-            elif op == b"Tj" and operands:
-                show(operands[-1])
             elif op == b"'" and operands:
                 lm = mat_mul((1, 0, 0, 1, 0.0, -tl), lm)
                 tm = lm
@@ -1218,21 +1336,6 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
                 lm = mat_mul((1, 0, 0, 1, 0.0, -tl), lm)
                 tm = lm
                 show(operands[-1])
-            elif op == b"TJ" and operands and isinstance(operands[-1], list):
-                for item in operands[-1]:
-                    if isinstance(item, bytes):
-                        show(item)
-                    elif isinstance(item, (int, float)):
-                        shift = -float(item) / 1000.0 * tfs * tz / 100.0
-                        if item <= -180:
-                            # kern wide enough to be an encoded word space
-                            m = mat_mul(tm, ctm)
-                            sx0, sy0 = mat_apply(m, 0.0, ts)
-                            frags.append(Frag(
-                                "text", sx0, sy0,
-                                mat_apply(m, shift, ts)[0],
-                                dev_size(m), " "))
-                        tm = mat_mul((1, 0, 0, 1, shift, 0), tm)
             elif op == b"Do" and operands:
                 name = str(operands[-1])
                 xo = pdf.resolve(xobjs.get(name))
@@ -1258,8 +1361,10 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
                 x, y = mat_apply(ctm, 0.5, 0.5)
                 frags.append(Frag("media", x, y, x, 0.0, None, "pdfimg:inline"))
                 end = _find_inline_image_end(data, pos)
-                it = iter(_content_tokens(data[end:]))
                 data = data[end:]
+                tokens = _content_tokens(data)
+                ti = 0
+                n_tok = len(tokens)
         except (TypeError, ValueError, KeyError, IndexError):
             pass  # malformed operand run — PDF viewers skip, so do we
         operands = []
