@@ -197,6 +197,9 @@ def minhash_lsh_pairs(
         ).alias("band", "band_hash"),
     )
     if max_bucket is not None:
+        # the cap stays a COUNT pre-filter (never materializes an
+        # oversized bucket's member list — a 10^6-copy boilerplate
+        # bucket is dropped from counts alone)
         widths = banded.groupBy("band", "band_hash").agg(
             F.count("*").alias("_w")
         )
@@ -205,16 +208,37 @@ def minhash_lsh_pairs(
             .filter(F.col("_w") <= max_bucket)
             .drop("_w")
         )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cands = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    # Pair generation as ONE aggregation + in-place pair explode instead
+    # of the former self-join (round-7 restructure, value-identical:
+    # same (a, b), a < b, same-bucket candidate set — oracle-verified).
+    # The self-join evaluated the banded subplan once per side (plus once
+    # per side under the widths join — 4 evaluations of the band-hash
+    # projection, measured as the two dominant warm stages at sf1.0),
+    # and its SMJ sorted both sides; the aggregate reuses the widths
+    # join's (band, band_hash) partitioning, so no extra exchange at
+    # all. Bucket width is already capped, so the collected id list is
+    # bounded (<= max_bucket) and the explode is the same candidate
+    # volume the join produced.
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(
+                    ids, i + 2,
+                    F.greatest(F.size(ids) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    )
+    cands = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .filter(F.size(ids) >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .filter(F.col("a") < F.col("b"))  # dup-id pathology guard
         .distinct()
     )
     sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
@@ -375,18 +399,40 @@ def simhash_near_dups(df: DataFrame, col: str = "text", id_col: str = "doc_id",
             F.array(*[block_val(b) for b in range(n_blocks)])
         ).alias("block", "block_val"),
     )
-    l, r = banded.alias("l"), banded.alias("r")
+    # Same round-7 restructure as minhash_lsh_pairs: one aggregation +
+    # in-place pair explode instead of a banded self-join (which
+    # evaluated the banded subplan once per side). The simhash travels
+    # WITH the id inside the collected struct — signatures are one
+    # bigint, so Hamming verification needs no join back at all. Pairs
+    # are ordered by doc_id (struct sort_array orders by leading field),
+    # matching the former l.doc_id < r.doc_id.
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(
+                    ids, i + 2,
+                    F.greatest(F.size(ids) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x["doc_id"].alias("a"), y["doc_id"].alias("b"),
+                    x["simhash"].alias("ha"), y["simhash"].alias("hb"),
+                ),
+            ),
+        )
+    )
     cands = (
-        l.join(
-            r,
-            (F.col("l.block") == F.col("r.block"))
-            & (F.col("l.block_val") == F.col("r.block_val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        banded.groupBy("block", "block_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("_ids")
         )
-        .select(
-            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
-            F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"),
-        )
+        .filter(F.size(ids) >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
+        .select("_p.a", "_p.b", "_p.ha", "_p.hb")
+        .filter(F.col("a") < F.col("b"))  # dup-id pathology guard
         .distinct()
     )
     return _register_cached(
