@@ -75,7 +75,10 @@ def main(argv=None) -> int:
         parsed.filter(parsed.err.isNotNull()).select("doc_id", "err") \
             .write.mode("overwrite").parquet(
                 args.output.rstrip("/") + "_pdf_errors")
-        docs = parsed.select("doc_id", "spans")
+        # err rows live ONLY in the sibling error table — filter them out
+        # of the main pipeline (round-6 ADVICE: they previously continued
+        # as empty-span documents, appearing in both outputs)
+        docs = parsed.filter(parsed.err.isNull()).select("doc_id", "spans")
 
     partitions = args.partitions or spark.sparkContext.defaultParallelism * 2
     normal, stragglers = straggler_split(docs, args.straggler_chars)

@@ -527,6 +527,11 @@ def drop_repeated_spans(
         .groupBy("k")
         .agg(F.count_distinct("_id").alias("df"))
         .filter(F.col("df") >= min_df)
+        # null-text spans are never blocklist keys: broadcast mode's
+        # collect_list silently dropped the null key while shuffle mode's
+        # eqNullSafe anti-join matched it — filter here so BOTH modes
+        # keep null-text spans (round-6 ADVICE value-parity fix)
+        .filter(F.col("k").isNotNull())
     )
     if how == "shuffle":
         ex = df.select(
@@ -558,13 +563,18 @@ def drop_repeated_spans(
         .limit(max_blocklist)
         .agg(F.collect_list("k").alias("_block"))
     )
-    keep = F.filter(
-        F.col(spans_col),
-        lambda x: (x["kind"] != "text")
-        | ~F.coalesce(
-            F.array_contains(F.col("_block"), _norm_expr(x["text"])),
-            F.lit(False),
+    # coalesce: a NULL spans array must come out as [] like the shuffle
+    # mode's reassembly produces (round-6 ADVICE value-parity fix)
+    keep = F.coalesce(
+        F.filter(
+            F.col(spans_col),
+            lambda x: (x["kind"] != "text")
+            | ~F.coalesce(
+                F.array_contains(F.col("_block"), _norm_expr(x["text"])),
+                F.lit(False),
+            ),
         ),
+        F.array().cast(df.schema[spans_col].dataType),
     )
     out_cols = [
         keep.alias(c) if c == spans_col else F.col(c) for c in df.columns

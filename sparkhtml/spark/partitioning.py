@@ -22,11 +22,13 @@ from pyspark.sql import DataFrame, functions as F
 SALT_N = 64
 
 # fan_out guard: inputs smaller than this stay put — the exchange +
-# per-task scheduling overhead exceeds the parallelism gain (the SCALE.md
-# §11 parallelize-vs-batch threshold, re-measured round 7 at sf0.1/sf1.0:
-# ~0.6 MB inputs are a wash, ~2.5 MB+ inputs win 4-8×). Tune per call
-# site only with a measurement.
-FAN_OUT_MIN_BYTES = 1 << 20
+# per-task scheduling overhead exceeds the parallelism gain. Round-7
+# measurements (after the small-shuffle-file fixes in session.py, which
+# obsolete the round-6 "repartition loses at sf0.1" result): 0.25-0.65 MB
+# inputs (sf0.1) win 1.4-1.6x, 2.5-6 MB inputs (sf1.0) win 4-8x; the
+# ~65 KB sf0.001 frames are where the fixed cost still loses. Tune per
+# call site only with a measurement.
+FAN_OUT_MIN_BYTES = 128 << 10
 
 
 def fan_out(

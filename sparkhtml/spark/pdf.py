@@ -51,6 +51,14 @@ class PDFError(ValueError):
     """Malformed or unsupported PDF; callers surface this per-row."""
 
 
+class PDFBudgetError(PDFError):
+    """Adversarial-work budget exceeded (page-tree / form-XObject
+    traversal). A distinct subclass so the interpreter's per-op
+    malformed-operand recovery (which swallows ValueError) can re-raise
+    it: budget exhaustion must abort the document, not be retried
+    op-by-op."""
+
+
 WS = b"\x00\t\n\x0c\r "
 DELIMS = b"()<>[]{}/%"
 
@@ -580,9 +588,18 @@ class PDF:
                 typ = fields[0] if w[0] else 1
                 num = start + k
                 if typ == 1:
-                    self.xref.setdefault(num, ("off", fields[1]))
+                    # /W field-2 width 0 is legal per ISO 32000-1 (the
+                    # default applies) but leaves no offset to seek to —
+                    # skip the entry instead of storing ('off', None),
+                    # which would escape the PDFError contract as a
+                    # TypeError in _parse_indirect_at (round-6 ADVICE)
+                    if fields[1] is not None:
+                        self.xref.setdefault(num, ("off", fields[1]))
                 elif typ == 2:
-                    self.xref.setdefault(num, ("stm", fields[1], fields[2]))
+                    if fields[1] is not None and fields[2] is not None:
+                        self.xref.setdefault(
+                            num, ("stm", fields[1], fields[2])
+                        )
         for k, v in d.items():
             if k not in ("W", "Index", "Length", "Filter", "DecodeParms", "Type"):
                 self.trailer.setdefault(k, v)
@@ -688,9 +705,17 @@ class PDF:
         if not isinstance(root, dict):
             raise PDFError("page tree missing")
 
+        visited = [0]  # total-work budget, not just depth (round-6
+        # ADVICE: a crafted tree can reference the same kid many times
+        # per level — 16 kids x 64 levels is exponential traversal that
+        # the per-row error channel cannot interrupt)
+
         def walk(node: dict, inherited: dict, depth: int):
             if depth > 64:
                 raise PDFError("page tree too deep")
+            visited[0] += 1
+            if visited[0] > 10_000:
+                raise PDFError("page tree too large")
             inh = dict(inherited)
             for key in ("Resources", "MediaBox", "Rotate"):
                 if key in node:
@@ -1178,10 +1203,14 @@ def _find_inline_image_end(data: bytes, i: int) -> int:
 def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
                    _content: bytes | None = None,
                    _resources: dict | None = None,
-                   _ctm=IDENTITY) -> list[Frag]:
+                   _ctm=IDENTITY, _budget: list | None = None) -> list[Frag]:
     """Run the content stream(s); return device-space fragments."""
     if _depth > 8:
         return []
+    if _budget is None:
+        _budget = [1000]  # cumulative Form-XObject invocations for the
+        # whole page tree walk: depth alone admits k^8 traversals of a
+        # form referenced k times per level (round-6 ADVICE)
     content = _content if _content is not None else pdf.page_content(page)
     resources = pdf.resolve(
         _resources if _resources is not None else page.get("Resources")) or {}
@@ -1346,6 +1375,10 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
                         ref = f"pdfimg:{name}"
                         frags.append(Frag("media", x, y, x, 0.0, None, ref))
                     elif st == "Form":
+                        _budget[0] -= 1
+                        if _budget[0] < 0:
+                            raise PDFBudgetError(
+                                "form-xobject budget exceeded")
                         fm = pdf.resolve(xo.dict.get("Matrix"))
                         m = (tuple(float(pdf.resolve(v)) for v in fm)
                              if isinstance(fm, list) and len(fm) == 6
@@ -1355,7 +1388,7 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
                             _content=decode_stream(pdf, xo),
                             _resources=pdf.resolve(
                                 xo.dict.get("Resources")) or resources,
-                            _ctm=mat_mul(m, ctm)))
+                            _ctm=mat_mul(m, ctm), _budget=_budget))
             elif op == b"BI":
                 # inline image: skip operands to EI, emit placeholder
                 x, y = mat_apply(ctm, 0.5, 0.5)
@@ -1365,6 +1398,8 @@ def interpret_page(pdf: PDF, page: dict, *, _depth: int = 0,
                 tokens = _content_tokens(data)
                 ti = 0
                 n_tok = len(tokens)
+        except PDFBudgetError:
+            raise
         except (TypeError, ValueError, KeyError, IndexError):
             pass  # malformed operand run — PDF viewers skip, so do we
         operands = []

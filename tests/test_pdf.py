@@ -786,3 +786,93 @@ def test_q_restores_text_state():
     # Helvetica 'A'+'B' at 10pt = (667+667)/1000*10 = 13.34; with the
     # leaked Tc=50 it would be ~113
     assert frags[0].x1 - frags[0].x0 < 20, frags[0].x1 - frags[0].x0
+
+
+def _raw_pdf(objs: list[bytes]) -> bytes:
+    """Hand-assemble numbered objects (1-based) + classic xref table."""
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for n, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += str(n).encode() + b" 0 obj\n" + o + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n0000000000 65535 f \n"
+    for o in offs:
+        out += f"{o:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n"
+            + str(xref).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def test_page_tree_work_budget():
+    """Round-7 hardening (round-6 ADVICE): a page tree whose nodes
+    reference the SAME kid 16 times per level is exponential under a
+    depth-only bound (16^6 traversals here); the visited-node budget
+    must raise PDFError fast instead of hanging the task."""
+    import time
+
+    from sparkhtml.spark.pdf import PDF, PDFError
+
+    # objs: 1 catalog, 2..7 chained Pages levels (each /Kids = 16 refs to
+    # the NEXT level's single node), 8 leaf page
+    objs = [b"<< /Type /Catalog /Pages 2 0 R >>"]
+    for lvl in range(2, 8):
+        kids = b" ".join(str(lvl + 1).encode() + b" 0 R" for _ in range(16))
+        objs.append(b"<< /Type /Pages /Kids [" + kids + b"] /Count 1 >>")
+    objs.append(b"<< /Type /Page /MediaBox [0 0 612 792] >>")
+    blob = _raw_pdf(objs)
+    t0 = time.perf_counter()
+    with pytest.raises(PDFError):
+        PDF(blob).pages()
+    assert time.perf_counter() - t0 < 5.0
+
+
+def test_form_xobject_do_budget():
+    """Round-7 hardening (round-6 ADVICE): a Form XObject invoking
+    itself 30x per level is 30^8 interpretations under the depth-only
+    bound; the cumulative Do budget must cut it off with PDFError."""
+    import time
+
+    from sparkhtml.spark.pdf import PDF, PDFError, interpret_page
+
+    form_content = b"q " + b"/F0 Do " * 30 + b"Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /F0 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Subtype /Form /Resources << /XObject << /F0 4 0 R >> >> "
+        b"/Length " + str(len(form_content)).encode() + b" >>\nstream\n"
+        + form_content + b"\nendstream",
+        b"<< /Length " + str(len(form_content)).encode() + b" >>\nstream\n"
+        + form_content + b"\nendstream",
+    ]
+    blob = _raw_pdf(objs)
+    pdf = PDF(blob)
+    page = pdf.pages()[0]
+    t0 = time.perf_counter()
+    with pytest.raises(PDFError):
+        interpret_page(pdf, page)
+    assert time.perf_counter() - t0 < 5.0
+
+
+def test_xref_stream_w_zero_offset_width_is_pdferror():
+    """Round-7 fix (round-6 ADVICE): /W with field-2 width 0 leaves no
+    offset; the entry must be skipped (surfacing as PDFError through
+    the normal missing-object paths), never TypeError."""
+    import zlib
+
+    from sparkhtml.spark.pdf import PDF, PDFError
+
+    # xref stream with W [1 0 1]: type-1 entries carry NO offset field
+    rows = b"".join(bytes([1, 0]) for _ in range(3))  # type=1, field3=0
+    data = zlib.compress(rows)
+    out = bytearray(b"%PDF-1.4\n")
+    off1 = len(out)
+    out += (b"1 0 obj\n<< /Type /XRef /W [1 0 1] /Size 3 /Root 2 0 R "
+            b"/Filter /FlateDecode /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream\nendobj\n")
+    out += (b"startxref\n" + str(off1).encode() + b"\n%%EOF\n")
+    with pytest.raises(PDFError):
+        PDF(bytes(out)).pages()

@@ -223,6 +223,34 @@ def test_drop_repeated_spans(spark):
     assert all(s.kind == "media" for r in only_media for s in r.spans)
 
 
+def test_drop_repeated_spans_null_edges_mode_parity(spark):
+    """Round-7 value-parity fix (round-6 ADVICE): NULL spans arrays and
+    null-TEXT spans must come out identical from both strategies —
+    previously broadcast kept null-text spans while shuffle dropped
+    them, and a NULL array came back NULL vs []."""
+    from sparkhtml.spark.dedup import drop_repeated_spans
+
+    rows = [
+        ("d1", [("text", None, None, 0), ("text", "repeated line", None, 1)]),
+        ("d2", [("text", None, None, 0), ("text", "repeated line", None, 1)]),
+        ("d3", None),
+    ]
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    a = drop_repeated_spans(df, min_df=2).orderBy("doc_id").collect()
+    b = drop_repeated_spans(df, min_df=2, how="shuffle").orderBy("doc_id").collect()
+    assert a == b
+    out = {r.doc_id: r.spans for r in a}
+    # null-text spans survive (never blocklist keys); repeated line drops
+    assert [s.text for s in out["d1"]] == [None]
+    assert [s.text for s in out["d2"]] == [None]
+    # NULL spans array comes back as [] in both modes
+    assert out["d3"] == []
+
+
 def test_minhash_and_jaccard(spark):
     from sparkhtml.spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
