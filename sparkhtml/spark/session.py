@@ -65,6 +65,19 @@ def get_spark(
         # so this only changes the small-shuffle regime the bypass path
         # pessimizes here.
         .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+        # Joins (guide §3.1/§9): allow shuffled-hash when its size
+        # conditions are met instead of always sort-merge — skips both
+        # sides' sorts. AQE additionally rewrites SMJ->SHJ at runtime
+        # when every post-shuffle partition is under the threshold.
+        # Interleaved A/B at sf1.0 local[32]: selector semi-join ladder
+        # 0.67->0.51 s, link-extraction range join 0.54->0.28 s, with
+        # visibly tighter spread. The planner still picks SMJ when the
+        # build side may not fit a partition's memory.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
     )
     # Shuffle scratch on tmpfs when available (same measurement): shuffle
     # blocks land on spark.local.dir, and a RAM-backed dir removes the
