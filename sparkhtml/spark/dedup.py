@@ -214,11 +214,14 @@ def minhash_lsh_pairs(
     # The self-join evaluated the banded subplan once per side (plus once
     # per side under the widths join — 4 evaluations of the band-hash
     # projection, measured as the two dominant warm stages at sf1.0),
-    # and its SMJ sorted both sides; the aggregate reuses the widths
-    # join's (band, band_hash) partitioning, so no extra exchange at
-    # all. Bucket width is already capped, so the collected id list is
-    # bounded (<= max_bucket) and the explode is the same candidate
-    # volume the join produced.
+    # and its SMJ sorted both copies. Realized plan now
+    # (plans/r07/q4_minhash_dedup_after.txt): banded evaluated TWICE
+    # (widths + main side), the widths pre-filter joins as a broadcast,
+    # and the collect_list aggregate pays the single (band, band_hash)
+    # exchange that replaces the self-join's two sorted ones. Bucket
+    # width is already capped, so the collected id list is bounded
+    # (<= max_bucket) and the explode is the same candidate volume the
+    # join produced.
     ids = F.col("_ids")
     pair_structs = F.flatten(
         F.transform(

@@ -76,10 +76,13 @@ def fan_out(
         return df
     if key is not None:
         # Hash-partitioning on a high-cardinality key (doc_id) spreads as
-        # evenly as round-robin here, skips round-robin's local
-        # sort-before-repartition pass, and — the real point — publishes
-        # an outputPartitioning that downstream windows/joins clustered on
-        # (key, ...) can reuse, eliminating their exchange (guide §2.4).
+        # evenly as round-robin here and skips round-robin's local
+        # sort-before-repartition pass. It also publishes a
+        # hashpartitioning outputPartitioning that downstream
+        # windows/joins clustered on (key, ...) can reuse (guide §2.4) —
+        # though NOT through a cached AQE plan, whose InMemoryRelation
+        # reports unknown partitioning (measured round 7: the nodes-cache
+        # consumers still insert ENSURE_REQUIREMENTS exchanges).
         return df.repartition(target, F.col(key))
     return df.repartition(target)
 

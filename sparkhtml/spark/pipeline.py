@@ -384,9 +384,11 @@ def parse_nodes_df(df: DataFrame, html_col: str = "html",
     :mod:`sparkhtml.spark.queries` run over it with joins/windows.
     ``arrow=False`` selects the pandas differential-oracle worker.
     """
-    # keyed fan_out: the nodes table is consumed by selector plans whose
-    # windows/joins cluster on (doc_id, ...) — hash-partitioning the
-    # parse output by doc_id lets them reuse this exchange (guide §2.4)
+    # keyed fan_out: hash-partitioning by doc_id spreads as evenly as
+    # round-robin (unique key) without round-robin's local
+    # sort-before-repartition, and keeps same-document rows co-located
+    # for any DIRECT consumer clustered on (doc_id, ...). (A cached AQE
+    # plan does not propagate the partitioning — see fan_out's note.)
     src = fan_out(df.select(F.col(id_col).cast("string").alias("doc_id"),
                             F.col(html_col).alias("html")), key="doc_id")
     if arrow:
