@@ -78,16 +78,22 @@ def shingles_col(col: str = "text", n: int = 3):
     expression inside the per-shingle lambda makes Catalyst inline and
     re-tokenize the whole text for every shingle (measured ~50× cost at
     sf0.1; higher-order functions have no common-subexpression reuse
-    across lambda bodies)."""
-    words = F.filter(F.split(normalized_text(col), " "), lambda w: F.length(w) > 0)
+    across lambda bodies).
 
-    def build(ws):
-        idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
-        return F.when(F.size(ws) < n, F.array(F.concat_ws(" ", ws))).otherwise(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
-        )
-
-    return F.element_at(F.transform(F.array(words), build), 1)
+    Built as ONE server-side-parsed expression (round 7): the Column-API
+    form cost dozens of py4j round trips per call and this column is
+    rebuilt inside the bench's timed region every rep
+    (value-equivalence pinned by ``test_shingles_col_expr_equivalence``
+    and the md5-mode driver oracles, which run through this same
+    expression)."""
+    norm = f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+    words = f"filter(split({norm}, ' '), w -> length(w) > 0)"
+    return F.expr(
+        f"element_at(transform(array({words}), ws -> "
+        f"CASE WHEN size(ws) < {n} THEN array(concat_ws(' ', ws)) "
+        f"ELSE transform(sequence(0, greatest(size(ws) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(ws, i + 1, {n}))) END), 1)"
+    )
 
 
 def minhash_signatures(
@@ -133,17 +139,27 @@ def minhash_signatures(
                     for i in range(n_hashes)
                 ]
             )
+
+        sig = F.aggregate(
+            "sh",
+            init,
+            lambda acc, s: F.zip_with(
+                acc, hashes(s), lambda a, b: F.least(a, b)
+            ),
+        )
     else:
-        init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(n_hashes)])
-
-        def hashes(s):
-            return F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)])
-
-    sig = F.aggregate(
-        "sh",
-        init,
-        lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
-    )
+        # ONE server-side-parsed expression instead of ~200 Column-API
+        # py4j round trips: expression CONSTRUCTION was measured at
+        # ~0.3 s per call at 32 hashes (a third of warm q4 is driver-side
+        # build), and this fold is rebuilt inside the timed region on
+        # every bench rep. Semantically identical to the Column form
+        # (xxhash64(s, <int literal>) per seed, least-fold via zip_with).
+        init_sql = ",".join(["9223372036854775807L"] * n_hashes)
+        hashes_sql = ",".join(f"xxhash64(s, {i})" for i in range(n_hashes))
+        sig = F.expr(
+            f"aggregate(sh, array({init_sql}), (acc, s) -> "
+            f"zip_with(acc, array({hashes_sql}), (a, b) -> least(a, b)))"
+        )
     return sh.select("doc_id", sig.alias("sig"))
 
 
@@ -177,24 +193,20 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, col, id_col, n_hashes, shingle_n, hash_mode=hash_mode
     ).cache()
+    # one parsed expression for the band array (same driver-side build
+    # rationale as the signature fold above)
+    band_sql = ",".join(
+        "xxhash64(concat_ws(','," + ",".join(
+            f"element_at(sig, {b * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
+        ) + "))"
+        for b in range(bands)
+    )
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.expr(f"array({band_sql})")).alias(
+            "band", "band_hash"
+        ),
     )
     if max_bucket is not None:
         # the cap stays a COUNT pre-filter (never materializes an
@@ -222,23 +234,15 @@ def minhash_lsh_pairs(
     # width is already capped, so the collected id list is bounded
     # (<= max_bucket) and the explode is the same candidate volume the
     # join produced.
-    ids = F.col("_ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(
-                    ids, i + 2,
-                    F.greatest(F.size(ids) - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, greatest(size(_ids) - i - 1, 0)), "
+        "y -> struct(x AS a, y AS b))))"
     )
     cands = (
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
-        .filter(F.size(ids) >= 2)
+        .filter(F.size("_ids") >= 2)
         .select(F.explode(pair_structs).alias("_p"))
         .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .filter(F.col("a") < F.col("b"))  # dup-id pathology guard
@@ -251,13 +255,10 @@ def minhash_lsh_pairs(
         .join(sb, "b")
         .withColumn(
             "sig_agreement",
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda m: m,
-                )
-            )
-            / F.lit(n_hashes),
+            F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+                f"m -> m)) / {n_hashes}"
+            ),
         )
         .filter(F.col("sig_agreement") >= min_agree)
         .select("a", "b", F.round("sig_agreement", 6).alias("sig_agreement"))
@@ -409,21 +410,11 @@ def simhash_near_dups(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     # bigint, so Hamming verification needs no join back at all. Pairs
     # are ordered by doc_id (struct sort_array orders by leading field),
     # matching the former l.doc_id < r.doc_id.
-    ids = F.col("_ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(
-                    ids, i + 2,
-                    F.greatest(F.size(ids) - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(
-                    x["doc_id"].alias("a"), y["doc_id"].alias("b"),
-                    x["simhash"].alias("ha"), y["simhash"].alias("hb"),
-                ),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, greatest(size(_ids) - i - 1, 0)), "
+        "y -> struct(x.doc_id AS a, y.doc_id AS b, "
+        "x.simhash AS ha, y.simhash AS hb))))"
     )
     cands = (
         banded.groupBy("block", "block_val")
@@ -432,7 +423,7 @@ def simhash_near_dups(df: DataFrame, col: str = "text", id_col: str = "doc_id",
                 F.collect_list(F.struct("doc_id", "simhash"))
             ).alias("_ids")
         )
-        .filter(F.size(ids) >= 2)
+        .filter(F.size("_ids") >= 2)
         .select(F.explode(pair_structs).alias("_p"))
         .select("_p.a", "_p.b", "_p.ha", "_p.hb")
         .filter(F.col("a") < F.col("b"))  # dup-id pathology guard

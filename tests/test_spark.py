@@ -251,6 +251,45 @@ def test_drop_repeated_spans_null_edges_mode_parity(spark):
     assert out["d3"] == []
 
 
+def test_shingles_col_expr_equivalence(spark):
+    """Round-7 expr-string rewrite of shingles_col must be value-identical
+    to the original Column-API construction (pinned here; the md5-mode
+    driver oracles run through the same expression at volume)."""
+    from pyspark.sql import functions as F
+
+    from sparkhtml.spark.dedup import normalized_text, shingles_col
+
+    def shingles_old(col="text", n=3):
+        words = F.filter(
+            F.split(normalized_text(col), " "), lambda w: F.length(w) > 0
+        )
+
+        def build(ws):
+            idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+            return F.when(
+                F.size(ws) < n, F.array(F.concat_ws(" ", ws))
+            ).otherwise(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n))
+                )
+            )
+
+        return F.element_at(F.transform(F.array(words), build), 1)
+
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  one  "), (4, "a b"), (5, "a b c d"),
+         (6, "x\t\ny  z"), (7, "A  B\tC d E f"), (8, "wörd ünïcode t x")],
+        ["doc_id", "text"],
+    )
+    rows = edge.select(
+        "doc_id", shingles_old().alias("old"), shingles_col().alias("new")
+    ).collect()
+    for r in rows:
+        assert (r.old is None) == (r.new is None), r
+        if r.old is not None:
+            assert list(r.old) == list(r.new), r
+
+
 def test_minhash_and_jaccard(spark):
     from sparkhtml.spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
