@@ -103,8 +103,16 @@ def _skip_ws(data: bytes, i: int) -> int:
     return m.end() if m else i
 
 
+_NAME_BODY_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+
+
 def _parse_name(data: bytes, i: int):
     # data[i] == '/'
+    # fast path: simple name without #xx hex escapes (the normal case)
+    m = _NAME_BODY_RE.match(data, i + 1)
+    body = m.group()
+    if b"#" not in body:
+        return Name(body.decode("latin-1")), i + 1 + len(body)
     i += 1
     out = bytearray()
     n = len(data)
@@ -945,6 +953,10 @@ def _freeze_inline(obj, depth: int = 0, budget: list | None = None):
     if obj is None or isinstance(obj, (bool, int, float, str, bytes)):
         return obj  # Name is a str subclass; equal names behave equally
     if isinstance(obj, list):
+        # numeric fast path: /Widths and /W arrays dominate font dicts
+        if all(type(v) is float or type(v) is int for v in obj):
+            budget[0] -= len(obj)
+            return ("L", tuple(obj))
         out = []
         for v in obj:
             fv = _freeze_inline(v, depth + 1, budget)
@@ -1418,6 +1430,9 @@ class Line:
         self.text, self.size, self.ref = text, size, ref
 
 
+_MULTISPACE_RE = re.compile(r"  +")
+
+
 def _frags_to_lines(frags: list[Frag]) -> list[Line]:
     text_frags = [f for f in frags if f.kind == "text"]
     media_frags = [f for f in frags if f.kind == "media"]
@@ -1450,7 +1465,7 @@ def _frags_to_lines(frags: list[Frag]) -> list[Line]:
                         buf.append(" ")
             buf.append(text)
             prev_x1 = max(x1, x0)
-        joined = re.sub(r"  +", " ", "".join(buf)).strip()
+        joined = _MULTISPACE_RE.sub(" ", "".join(buf)).strip()
         if joined:
             out.append(Line("text", ln.y, ln.x0, ln.x1, joined, ln.size))
     for f in media_frags:
