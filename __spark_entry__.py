@@ -22,7 +22,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan_out: the generated documents.parquet is a single row group, so
+    # without an explicit exchange every downstream stage (and anything
+    # cached from this frame) is pinned to ONE task (guide §2.5 /
+    # SCALE.md row-group pitfall; no-op for real multi-split inputs and
+    # for the tiny correctness SFs). Hash by doc_id: unique key, even
+    # spread, no round-robin pre-sort. Value-neutral — the correctness
+    # gate hashes rows order-insensitively.
+    from sparkhtml.spark.partitioning import fan_out
+
+    return fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+    )
 
 
 def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
