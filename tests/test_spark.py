@@ -251,6 +251,76 @@ def test_drop_repeated_spans_null_edges_mode_parity(spark):
     assert out["d3"] == []
 
 
+def test_lsh_pair_explode_matches_brute_force(spark):
+    """Round-7 pair-generation restructure (self-join -> aggregate +
+    in-place pair explode) differentialed against a brute-force
+    reference on a collision-heavy synthetic corpus (tiny vocab, exact
+    dups, empty/1-word docs)."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkhtml.spark.dedup import (
+        minhash_lsh_pairs, minhash_signatures, simhash_df,
+        simhash_near_dups,
+    )
+
+    rng = random.Random(1234)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = []
+    for i in range(120):
+        k = rng.randrange(0, 12)
+        rows.append((i, " ".join(
+            vocab[rng.randrange(len(vocab))] for _ in range(k))))
+    for i in range(120, 150):  # exact-dup clusters
+        rows.append((i, rows[i % 20][1]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {(r.a, r.b, r.sig_agreement)
+           for r in minhash_lsh_pairs(df, min_agree=0.5).collect()}
+    sigs = {r.doc_id: tuple(r.sig)
+            for r in minhash_signatures(df).collect()}
+    sdf = spark.createDataFrame(
+        [(d, list(s)) for d, s in sigs.items()],
+        "doc_id bigint, sig array<bigint>",
+    )
+    bands, rpb = 8, 4
+    band_cols = [
+        F.xxhash64(F.concat_ws(",", *[
+            F.element_at("sig", b * rpb + r + 1) for r in range(rpb)
+        ])).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    bh = {r.doc_id: [r[f"b{b}"] for b in range(bands)]
+          for r in sdf.select("doc_id", *band_cols).collect()}
+    buckets: dict = {}
+    for d, hs in bh.items():
+        for b, h in enumerate(hs):
+            buckets.setdefault((b, h), []).append(d)
+    ref = set()
+    for ds in buckets.values():
+        for x, y in itertools.combinations(sorted(ds), 2):
+            agree = sum(
+                1 for u, v in zip(sigs[x], sigs[y]) if u == v) / 32.0
+            if agree >= 0.5:
+                ref.add((x, y, round(agree, 6)))
+    assert got == ref
+
+    got2 = {(r.a, r.b, r.hamming)
+            for r in simhash_near_dups(df, max_hamming=3).collect()}
+    sh = {r.doc_id: r.simhash for r in simhash_df(df).collect()}
+    ref2 = set()
+    for x, y in itertools.combinations(sorted(sh), 2):
+        bx = [(sh[x] >> (b * 16)) & 0xFFFF for b in range(4)]
+        by = [(sh[y] >> (b * 16)) & 0xFFFF for b in range(4)]
+        if any(u == v for u, v in zip(bx, by)):
+            ham = bin((sh[x] ^ sh[y]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                ref2.add((x, y, ham))
+    assert got2 == ref2
+
+
 def test_shingles_col_expr_equivalence(spark):
     """Round-7 expr-string rewrite of shingles_col must be value-identical
     to the original Column-API construction (pinned here; the md5-mode
